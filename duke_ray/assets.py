@@ -1,0 +1,162 @@
+"""Broadcast side-assets: embedding vocab, class tree, entity index.
+
+The reference loads a multi-GB Word2Vec model into the single driver process
+(/root/reference/Duke/embedding.py:17) and re-loads it per REST request
+(/root/reference/Duke/DukeRestListener.py:43-52). Here the assets are built
+once on the driver, published to the object store with ``ray.put`` (one
+zero-copy, node-local read per worker process), and captured by actor pools
+in ``__init__`` — never re-shipped per batch (SURVEY.md T1/T2/T3/T5).
+
+At 100 TB the corpus scales; these assets don't (vocab ≈ millions of words,
+ontology ≈ 1e3 classes, entity index ≈ 1e6-1e8 rows → sharded broadcast
+would be the next step, still never a corpus shuffle).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from .functions.vector import fixed_list_to_matrix, unit_norm_rows
+from .schemas import EMBED_DIM
+from .stages.treeagg import TreeTopo, tree_score_matrix
+from .synth import (
+    ENTITY_SURFACES,
+    PRED_WORDS,
+    build_vocab_table,
+    class_tree_dict,
+    entities_table,
+    in_vocab_word,
+)
+
+
+def normalize_class_tree(tree: dict[str, dict[str, list[str]]], in_vocab) -> dict[str, dict[str, list[str]]]:
+    """Prune classes whose names contain out-of-vocab words, and drop edges to
+    pruned classes (reference: /root/reference/Duke/class_tree.py:36-46)."""
+    kept = {
+        name: rels
+        for name, rels in tree.items()
+        if all(in_vocab(w) for w in name.split(" "))
+    }
+    names = set(kept)
+    return {
+        name: {
+            "parents": [p for p in rels["parents"] if p in names],
+            "children": [c for c in rels["children"] if c in names],
+        }
+        for name, rels in kept.items()
+    }
+
+
+@dataclass
+class SideAssets:
+    """Immutable per-job side data; cheap to pickle, broadcast via ray.put."""
+
+    # embedding vocab
+    vocab_words: list[str]
+    vocab_matrix: np.ndarray                 # (V, d) float32
+    vocab_index: dict[str, int] = field(repr=False)
+
+    # ontology
+    classes: list[str]                       # fixed order, post-prune
+    class_matrix: np.ndarray                 # (C, d) float32, unit rows
+    tree: dict[str, dict[str, list[str]]]
+    topo: TreeTopo
+
+    # entity index
+    entity_surfaces: list[str]
+    entity_matrix: np.ndarray                # (E, d) float32, unit rows
+    entity_classes: list[str]
+    entity_type_scores: np.ndarray           # (E,) tree-aggregated score of own class
+
+    # lexicons
+    pred_words: frozenset[str]
+    surface_to_entity: dict[str, int]
+
+    @property
+    def dim(self) -> int:
+        return self.vocab_matrix.shape[1]
+
+    # --- embedding ---------------------------------------------------------
+
+    def embed_value_rows(self, token_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray]:
+        """Vocab-filter + embed a list of word-lists.
+
+        Returns ``(keep_mask, vectors)`` where ``vectors`` has one unit-normed
+        row per *kept* value (all-words-in-vocab drop semantics, reference
+        /root/reference/Duke/embedding.py:20-34,41-44).
+        """
+        idx = self.vocab_index
+        keep = np.empty(len(token_lists), dtype=bool)
+        rows: list[np.ndarray] = []
+        for i, words in enumerate(token_lists):
+            ids = [idx.get(w, -1) for w in words]
+            if not ids or min(ids) < 0:
+                keep[i] = False
+                continue
+            keep[i] = True
+            rows.append(self.vocab_matrix[ids].mean(axis=0))
+        if rows:
+            return keep, unit_norm_rows(np.stack(rows))
+        return keep, np.empty((0, self.dim), dtype=np.float32)
+
+    # --- construction ------------------------------------------------------
+
+    @classmethod
+    def build_synthetic(cls, tree_agg: str = "mean+max") -> "SideAssets":
+        vocab_tbl = build_vocab_table()
+        words = vocab_tbl["word"].to_pylist()
+        vmat = fixed_list_to_matrix(vocab_tbl["vector"], EMBED_DIM)
+        vindex = {w: i for i, w in enumerate(words)}
+
+        tree = normalize_class_tree(class_tree_dict(), in_vocab_word)
+        classes = sorted(tree)
+        cmat = np.stack(
+            [vmat[[vindex[w] for w in name.split(" ")]].mean(axis=0) for name in classes]
+        )
+        cmat = unit_norm_rows(cmat).astype(np.float32)
+        topo = TreeTopo.from_tree(tree, classes)
+
+        ent_tbl = entities_table()
+        surfaces = ent_tbl["surface"].to_pylist()
+        emat = fixed_list_to_matrix(ent_tbl["vector"], EMBED_DIM)
+        eclasses = ent_tbl["class"].to_pylist()
+
+        # tree-aggregated type score per entity: cosine(entity, classes) ->
+        # tree aggregation -> take the entity's own class entry (north rule's
+        # "vectorized inner products plus tree-aggregated type scores").
+        sims = emat @ cmat.T                                  # (E, C)
+        agg = tree_score_matrix(sims, topo, tree_agg)         # (E, C)
+        cidx = {c: i for i, c in enumerate(classes)}
+        type_scores = np.array(
+            [agg[e, cidx[eclasses[e]]] if eclasses[e] in cidx else 0.0 for e in range(len(surfaces))],
+            dtype=np.float32,
+        )
+
+        return cls(
+            vocab_words=words,
+            vocab_matrix=vmat,
+            vocab_index=vindex,
+            classes=classes,
+            class_matrix=cmat,
+            tree=tree,
+            topo=topo,
+            entity_surfaces=surfaces,
+            entity_matrix=emat.astype(np.float32),
+            entity_classes=eclasses,
+            entity_type_scores=type_scores,
+            pred_words=frozenset(PRED_WORDS),
+            surface_to_entity={s: i for i, s in enumerate(ENTITY_SURFACES)},
+        )
+
+
+_CACHED: SideAssets | None = None
+
+
+def default_assets() -> SideAssets:
+    """Process-local cached synthetic assets (deterministic, seed-fixed)."""
+    global _CACHED
+    if _CACHED is None:
+        _CACHED = SideAssets.build_synthetic()
+    return _CACHED

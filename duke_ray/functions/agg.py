@@ -1,0 +1,71 @@
+"""Aggregation-function algebra (reference: /root/reference/Duke/agg_functions.py,
+/root/reference/Duke/utils.py:26-31).
+
+All functions here are *vectorized across sources*: they operate on a list of
+``(S,)`` float arrays (one entry per item being combined — own score +
+per-child aggregated scores) and return one ``(S,)`` array. With ``S == 1``
+they reduce to the reference's scalar semantics exactly (transliteration-
+oracle-tested).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import numpy as np
+
+AggFunc = Callable[[Sequence[np.ndarray]], np.ndarray]
+
+
+def mean_of_rows(rows: Sequence[np.ndarray]) -> np.ndarray:
+    return np.mean(np.stack(rows), axis=0)
+
+
+def max_of_rows(rows: Sequence[np.ndarray]) -> np.ndarray:
+    return np.max(np.stack(rows), axis=0)
+
+
+# --- preps (Duke/agg_functions.py:4-14) ------------------------------------
+
+def null_prep(rows: Sequence[np.ndarray]) -> list[np.ndarray]:
+    return list(rows)
+
+
+def exponential(rows: Sequence[np.ndarray]) -> list[np.ndarray]:
+    return [np.exp(r) for r in rows]
+
+
+def step(rows: Sequence[np.ndarray]) -> list[np.ndarray]:
+    return [np.where(r > 0.5, r, 0.0) for r in rows]
+
+
+def quadratic(rows: Sequence[np.ndarray]) -> list[np.ndarray]:
+    return [r * r for r in rows]
+
+
+def parent_children_funcs(parent: AggFunc, children: AggFunc, prep=null_prep) -> AggFunc:
+    """``agg([own, child1, ...]) = parent([own, children([child1, ...])])``
+    (Duke/agg_functions.py:16-24). With a single element, returns it
+    unchanged (after prep), exactly like the reference."""
+
+    def custom_agg(rows: Sequence[np.ndarray]) -> np.ndarray:
+        rows = prep(rows)
+        if len(rows) > 1:
+            return parent([rows[0], children(rows[1:])])
+        return np.asarray(rows[0])
+
+    return custom_agg
+
+
+AGG_REGISTRY: dict[str, AggFunc] = {
+    "mean": mean_of_rows,
+    "max": max_of_rows,
+    "mean+max": parent_children_funcs(mean_of_rows, max_of_rows),
+    "max+mean": parent_children_funcs(max_of_rows, mean_of_rows),
+}
+
+
+def resolve_agg(spec: str | AggFunc) -> AggFunc:
+    if callable(spec):
+        return spec
+    return AGG_REGISTRY[spec]

@@ -1,0 +1,144 @@
+"""Mention detection and (subj, pred, obj) triple extraction.
+
+Deterministic spec (this engine's reference semantics; a pure single-process
+transliteration lives in ``duke_ray/oracle.py`` and the P/R gate compares
+the two, per BASELINE.json "P/R >= 0.95 vs reference triples"):
+
+- tokens: ``normalize_text`` of the page text, split on single spaces,
+  0-based positions (byte-compatible with the reference normalizer,
+  /root/reference/Duke/utils.py:12-19).
+- mention: any token exactly matching a gazetteer surface form
+  (``SideAssets.surface_to_entity``). The reference's analogue is a cell's
+  word list (/root/reference/Duke/dataset.py:28-30, SURVEY.md M8).
+- triple: for each token p in the predicate lexicon at position i, let
+  subj = nearest mention at position < i with i - pos <= TRIPLE_WINDOW and
+  obj = nearest mention at position > i with pos - i <= TRIPLE_WINDOW, both
+  within the same page; emit (subj, p, obj) iff both exist. Predicate and
+  surface lexicons are disjoint by construction.
+
+Implementation is fully vectorized: one forward and one backward
+``maximum.accumulate`` over the batch's flattened token buffer — no Python
+loop over tokens or rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..assets import SideAssets
+from ..synth import TRIPLE_WINDOW
+from .tokens import FlatTokens
+
+_NEG = np.int64(-1)
+
+
+def _mention_scan(flat: FlatTokens, surface_arr: pa.Array, pred_arr: pa.Array):
+    """Shared vectorized scan: mention ids + nearest-mention-before/after."""
+    ent_idx = pc.index_in(flat.tokens, value_set=surface_arr).fill_null(-1)
+    ent_idx = ent_idx.to_numpy(zero_copy_only=False).astype(np.int64)
+    is_pred = pc.is_in(flat.tokens, value_set=pred_arr).to_numpy(zero_copy_only=False)
+
+    n = len(ent_idx)
+    g = np.arange(n, dtype=np.int64)
+    is_mention = ent_idx >= 0
+
+    # forward fill: index of nearest mention at-or-before each position
+    m_fwd = np.where(is_mention, g, _NEG)
+    prev = np.maximum.accumulate(m_fwd) if n else m_fwd
+    # backward fill: index of nearest mention at-or-after each position
+    m_bwd = np.where(is_mention, n - 1 - g, _NEG)[::-1]
+    nxt_rev = np.maximum.accumulate(m_bwd) if n else m_bwd
+    nxt = np.where(nxt_rev[::-1] >= 0, n - 1 - nxt_rev[::-1], _NEG)
+    return ent_idx, is_mention, is_pred, prev, nxt
+
+
+class TripleExtractor:
+    """Actor-pool stage: gazetteer + predicate lexicon pinned once per actor
+    (SURVEY.md T5-adjacent; state is small but per-batch rebuild would still
+    dominate at 1e12 docs)."""
+
+    def __init__(self, assets: SideAssets | None = None, emit: str = "triples"):
+        from ..assets import default_assets
+
+        assets = assets or default_assets()
+        self.surface_arr = pa.array(list(assets.surface_to_entity), pa.string())
+        self.entity_ids = np.array(
+            [assets.surface_to_entity[s] for s in self.surface_arr.to_pylist()], dtype=np.int64
+        )
+        self.pred_arr = pa.array(sorted(assets.pred_words), pa.string())
+        self.emit = emit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = FlatTokens.from_text(text)
+        ent_idx, is_mention, is_pred, prev, nxt = _mention_scan(flat, self.surface_arr, self.pred_arr)
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+
+        if self.emit == "mentions":
+            sel = np.flatnonzero(is_mention)
+            return pa.table(
+                {
+                    "url": url.take(pa.array(flat.row[sel])),
+                    "pos": pa.array(flat.pos[sel].astype(np.int32), pa.int32()),
+                    "surface": flat.tokens.take(pa.array(sel)),
+                    "entity_hint": pa.array(self.entity_ids[ent_idx[sel]], pa.int64()),
+                }
+            )
+
+        p = np.flatnonzero(is_pred)
+        if p.size == 0:
+            return pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "subj": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj": pa.array([], pa.string()),
+                    "pred_pos": pa.array([], pa.int32()),
+                }
+            )
+        subj_i = prev[p]          # nearest mention at-or-before; preds are never mentions
+        obj_i = nxt[p]
+        ok = (subj_i >= 0) & (obj_i >= 0)
+        # same-row + window constraints
+        ok &= np.where(subj_i >= 0, flat.row[subj_i] == flat.row[p], False)
+        ok &= np.where(obj_i >= 0, flat.row[obj_i] == flat.row[p], False)
+        ok &= np.where(subj_i >= 0, flat.pos[p] - flat.pos[subj_i] <= TRIPLE_WINDOW, False)
+        ok &= np.where(obj_i >= 0, flat.pos[obj_i] - flat.pos[p] <= TRIPLE_WINDOW, False)
+        p, subj_i, obj_i = p[ok], subj_i[ok], obj_i[ok]
+        return pa.table(
+            {
+                "url": url.take(pa.array(flat.row[p])),
+                "subj": flat.tokens.take(pa.array(subj_i)),
+                "pred": flat.tokens.take(pa.array(p)),
+                "obj": flat.tokens.take(pa.array(obj_i)),
+                "pred_pos": pa.array(flat.pos[p].astype(np.int32), pa.int32()),
+            }
+        )
+
+
+def extract_mentions(extracted: "ray.data.Dataset", batch_size: int = 4096, concurrency=(2, 8)) -> "ray.data.Dataset":
+    return extracted.map_batches(
+        TripleExtractor,
+        fn_constructor_kwargs={"emit": "mentions"},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def extract_triples(extracted: "ray.data.Dataset", batch_size: int = 4096, concurrency=(2, 8)) -> "ray.data.Dataset":
+    return extracted.map_batches(
+        TripleExtractor,
+        fn_constructor_kwargs={"emit": "triples"},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

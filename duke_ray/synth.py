@@ -1,0 +1,251 @@
+"""Deterministic synthetic side-assets and the pages table (FIXTURES.md).
+
+Everything here is a pure function of its inputs plus fixed seeds — no
+wall-clock, no RNG without an explicit seed, no external data. The pages
+table is derived 1:1 from the driver-provided ``documents`` table so that
+DuckDB oracles over ``documents`` stay valid for pipelines over pages.
+
+Scale-design note: at 100 TB the pages table is the real Common-Crawl
+corpus; these generators only stand in for it at test scale. The vocab /
+class-tree / entity assets stay small (≤ millions of rows) at any corpus
+scale — they are broadcast side-data, never shuffled with the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .schemas import CLASS_TREE, EMBED_DIM, ENTITIES, PAGES, VOCAB_EMBEDDINGS
+from .text import fnv1a64, normalize_text
+
+# ---------------------------------------------------------------------------
+# Fixed corpus vocabulary (31 words, verified identical across sf0.001/0.01/0.1
+# of /root/testdata/*/documents.parquet).
+CORPUS_WORDS = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+
+# Predicate lexicon for triple extraction (disjoint from entity surfaces).
+PRED_WORDS = ["filter", "group", "hash", "join", "merge", "order", "scan", "sort"]
+
+# Gazetteer surface forms = candidate entities (unigrams, normalized).
+ENTITY_SURFACES = [
+    "agg", "batch", "column", "customer", "data", "dup", "key", "line",
+    "part", "query", "row", "spark", "stream", "table", "value", "vector",
+    "window",
+]
+
+TRIPLE_WINDOW = 8  # max token distance pred <-> argument
+
+
+# --- embedding stand-in ----------------------------------------------------
+
+def in_vocab_word(word: str) -> bool:
+    """Deterministic vocab-membership rule (~90% of words are in-vocab) —
+    the synthetic stand-in for gensim's ``word in model.wv.vocab``
+    (/root/reference/Duke/embedding.py:41-44)."""
+    return bool(word) and fnv1a64("v:" + word) % 10 != 0
+
+
+def word_vector(word: str) -> np.ndarray:
+    """Deterministic per-word embedding: Philox keyed by FNV-1a of the word.
+    Stable across processes, machines and corpus subsets."""
+    gen = np.random.Generator(np.random.Philox(key=fnv1a64("e:" + word)))
+    return gen.standard_normal(EMBED_DIM).astype(np.float32)
+
+
+def embed_words_mean(words: list[str]) -> np.ndarray | None:
+    """Multi-word value -> mean of word vectors (reference
+    ``embed_multi_words`` with mean_of_rows, /root/reference/Duke/embedding.py:33-34).
+    Returns None if any word is out-of-vocab (all-words drop semantics)."""
+    if not words or not all(in_vocab_word(w) for w in words):
+        return None
+    return np.mean([word_vector(w) for w in words], axis=0)
+
+
+def build_vocab_table(extra_words: list[str] | None = None) -> pa.Table:
+    """(word, vector) table over the corpus vocab + class/entity words."""
+    words = set(CORPUS_WORDS)
+    for surface in ENTITY_SURFACES:
+        words.update(surface.split(" "))
+    for cls in class_tree_dict():
+        words.update(cls.split(" "))
+    if extra_words:
+        words.update(extra_words)
+    words = sorted(w for w in words if in_vocab_word(w))
+    vecs = np.stack([word_vector(w) for w in words])
+    return pa.table(
+        {
+            "word": pa.array(words, pa.string()),
+            "vector": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float32()), EMBED_DIM
+            ),
+        },
+        schema=VOCAB_EMBEDDINGS,
+    )
+
+
+# --- class tree (DAG) ------------------------------------------------------
+
+# name -> list of parent names; children derived (kept consistent by
+# construction, unlike the reference JSON's dual bookkeeping,
+# /root/reference/Duke/ontologies/class-tree_dbpedia_2016-10.json).
+_PARENT_EDGES: dict[str, list[str]] = {
+    # roots
+    "data": [], "query": [], "stream": [], "table": [], "vector": [], "window": [],
+    # mid layer (some multi-parent -> DAG)
+    "big data": ["data"], "small data": ["data"],
+    "fast query": ["query"], "slow query": ["query"],
+    "data stream": ["data", "stream"],
+    "big table": ["table"], "small table": ["table"],
+    "hash table": ["table"], "sort key": ["table"],
+    "batch window": ["window"], "stream window": ["stream", "window"],
+    "row group": ["table"], "column group": ["table"],
+    "key value": ["data"], "merge join": ["query"], "hash join": ["query"],
+    "table scan": ["table", "query"], "query batch": ["query"],
+    "vector column": ["vector"], "vector row": ["vector"],
+    "agg query": ["query"], "customer data": ["data"], "line part": ["data"],
+    # leaves
+    "fast hash join": ["hash join"], "slow merge join": ["merge join"],
+    "big data stream": ["data stream"], "small batch window": ["batch window"],
+    "fast table scan": ["table scan"], "slow table scan": ["table scan"],
+    "customer order": ["customer data"], "customer part": ["customer data"],
+    "big vector column": ["vector column"], "small vector column": ["vector column"],
+    "fast stream window": ["stream window"], "key value part": ["key value"],
+    "agg group query": ["agg query"],
+    "row group scan": ["row group", "table scan"],
+    "sort key column": ["sort key", "column group"],
+    "small line part": ["line part"], "big line part": ["line part"],
+    "slow query batch": ["query batch"], "fast query batch": ["query batch"],
+    "spark data stream": ["data stream"],
+    # isolated classes (no parents, no children) — exercise pruning
+    "dup": [], "the big": [], "slow part": [], "fast line": [], "a": [],
+}
+
+
+def class_tree_dict() -> dict[str, dict[str, list[str]]]:
+    """Reference-shaped class tree: {name: {parents: [...], children: [...]}}
+    (shape of /root/reference/Duke/class_tree.py:49-52 input)."""
+    tree = {name: {"parents": list(parents), "children": []} for name, parents in _PARENT_EDGES.items()}
+    for name, parents in _PARENT_EDGES.items():
+        for p in parents:
+            tree[p]["children"].append(name)
+    for rels in tree.values():
+        rels["children"].sort()
+    return tree
+
+
+def class_tree_table() -> pa.Table:
+    tree = class_tree_dict()
+    names = sorted(tree)
+    return pa.table(
+        {
+            "class": pa.array(names, pa.string()),
+            "parents": pa.array([tree[n]["parents"] for n in names], pa.list_(pa.string())),
+            "children": pa.array([tree[n]["children"] for n in names], pa.list_(pa.string())),
+        },
+        schema=CLASS_TREE,
+    )
+
+
+# --- entities --------------------------------------------------------------
+
+_SURFACE_CLASS: dict[str, str] = {
+    "agg": "agg query", "batch": "query batch", "column": "column group",
+    "customer": "customer data", "data": "data", "dup": "big data",
+    "key": "key value", "line": "line part", "part": "line part",
+    "query": "query", "row": "row group", "spark": "spark data stream",
+    "stream": "stream", "table": "table", "value": "key value",
+    "vector": "vector", "window": "window",
+}
+
+
+def entities_table() -> pa.Table:
+    """Entity-linking index: one entity per gazetteer surface, embedded with
+    the same multi-word-mean rule as data values; unit-normalized."""
+    rows = []
+    for i, surface in enumerate(ENTITY_SURFACES):
+        vec = embed_words_mean(normalize_text(surface))
+        if vec is None:  # OOV surface: deterministic zero vector, never linked
+            vec = np.zeros(EMBED_DIM, dtype=np.float32)
+        else:
+            vec = vec / np.linalg.norm(vec)
+        rows.append((i, surface, vec.astype(np.float32), _SURFACE_CLASS[surface]))
+    vecs = np.stack([r[2] for r in rows])
+    return pa.table(
+        {
+            "entity_id": pa.array([r[0] for r in rows], pa.int64()),
+            "surface": pa.array([r[1] for r in rows], pa.string()),
+            "vector": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.ravel(), pa.float32()), EMBED_DIM
+            ),
+            "class": pa.array([r[3] for r in rows], pa.string()),
+        },
+        schema=ENTITIES,
+    )
+
+
+# --- pages table -----------------------------------------------------------
+
+_BASE_TS_US = np.int64(1_704_067_200_000_000)  # 2024-01-01T00:00:00Z in µs
+
+
+def doc_url(doc_id: int) -> str:
+    return f"https://site{doc_id % 101}.example/p/{doc_id}"
+
+
+def doc_id_from_url_arrow(url_col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Inverse of ``doc_url`` — vectorized."""
+    tail = pc.replace_substring_regex(url_col, pattern=r"^https://site\d+\.example/p/", replacement="")
+    return pc.cast(tail, pa.int64())
+
+
+def wrap_html(text: str, doc_id: int) -> bytes:
+    """Deterministic HTML wrapper whose extraction round-trips to ``text``
+    byte-identically (text has no entities / repeated whitespace)."""
+    return (
+        f'<html><head><meta name="doc" content="{doc_id}">'
+        f"<script>var x = {doc_id};</script>"
+        f"<style>p {{ margin: 0 }}</style></head>"
+        f"<body><!-- synthetic {doc_id} --><p>{text}</p></body></html>"
+    ).encode("utf-8")
+
+
+def pages_batch_from_documents(batch: pa.Table, replica: int = 0, n_docs_per_replica: int = 0) -> pa.Table:
+    """documents batch -> pages batch per FIXTURES.md §1 (vectorized).
+
+    Even doc_id: html set, text null (forces the extract path).
+    Odd  doc_id: text set, html null.
+    ``replica`` > 0 offsets doc_id deterministically for bench-scale
+    replication (doc_id' = doc_id + replica * n_docs_per_replica).
+    """
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if replica:
+        doc_id = doc_id + np.int64(replica) * np.int64(n_docs_per_replica)
+    text = batch["text"]
+    urls = pa.array([doc_url(int(d)) for d in doc_id], pa.string())
+    ts = pa.array(_BASE_TS_US + doc_id * 1_000_000, pa.timestamp("us"))
+    even = doc_id % 2 == 0
+    text_py = text.to_pylist()
+    html_vals: list[bytes | None] = [None] * len(doc_id)
+    text_vals: list[str | None] = [None] * len(doc_id)
+    for i, is_even in enumerate(even):
+        if is_even:
+            html_vals[i] = wrap_html(text_py[i], int(doc_id[i]))
+        else:
+            text_vals[i] = text_py[i]
+    return pa.table(
+        {
+            "url": urls,
+            "warc_ts": ts,
+            "html": pa.array(html_vals, pa.binary()),
+            "text": pa.array(text_vals, pa.string()),
+            "lang": batch["lang"],
+        },
+        schema=PAGES,
+    )

@@ -1,0 +1,98 @@
+"""KG stages (extract -> mentions/triples -> canonicalize) vs the
+single-process oracle, over synthesized pages from sf0.001 documents.
+This is the local form of the P/R >= 0.95 triple-agreement gate
+(BASELINE.md 'target: triple agreement')."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from duke_ray.assets import default_assets
+from duke_ray.oracle import naive_canonicalize, naive_corpus_triples, naive_page_text
+from duke_ray.sources import read_pages
+from duke_ray.stages.canonicalize import canonicalize_triples
+from duke_ray.stages.extract import extract_text
+from duke_ray.stages.triples import extract_mentions, extract_triples
+from duke_ray.synth import pages_batch_from_documents
+
+
+@pytest.fixture(scope="module")
+def pages_table(sf_dir):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return pages_batch_from_documents(docs)
+
+
+@pytest.fixture(scope="module")
+def pages_rows(pages_table):
+    return pages_table.to_pylist()
+
+
+def test_pages_synthesis_deterministic(pages_table, sf_dir):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    again = pages_batch_from_documents(docs)
+    assert again.equals(pages_table)
+    # even doc_ids carry html only, odd carry text only
+    assert pages_table["html"][0].as_py() is not None
+    assert pages_table["text"][0].as_py() is None
+    assert pages_table["html"][1].as_py() is None
+    assert pages_table["text"][1].as_py() is not None
+
+
+def test_extract_byte_identical(ray_session, sf_dir, pages_rows):
+    """Per-url extracted text is byte-identical to the scalar oracle AND to
+    the original documents.text (round-trip through the HTML wrapper)."""
+    import duckdb
+
+    ds = extract_text(read_pages(sf_dir))
+    got = {r["url"]: r["text"] for r in ds.take_all()}
+    want = {p["url"]: naive_page_text(p["html"], p["text"]) for p in pages_rows}
+    assert got == want
+
+    orig = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    by_doc = dict(orig)
+    for url, text in got.items():
+        doc_id = int(url.rsplit("/", 1)[1])
+        assert text == by_doc[doc_id], f"url {url} not byte-identical"
+
+
+def test_triples_match_oracle_exactly(ray_session, sf_dir, pages_rows):
+    assets = default_assets()
+    want = set(map(tuple, naive_corpus_triples(pages_rows, assets)))
+    ds = extract_triples(extract_text(read_pages(sf_dir)))
+    got = {(r["url"], r["subj"], r["pred"], r["obj"], r["pred_pos"]) for r in ds.take_all()}
+    assert want, "oracle produced no triples — synthetic corpus broken"
+    # P/R gate (exact match expected; >=0.95 required)
+    inter = len(got & want)
+    precision = inter / len(got)
+    recall = inter / len(want)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+    assert got == want  # engine spec == oracle spec, bit-exact
+
+
+def test_mentions_match_oracle(ray_session, sf_dir, pages_rows):
+    assets = default_assets()
+    surfaces = set(assets.surface_to_entity)
+    from duke_ray.oracle import naive_mentions, naive_page_text
+
+    want = set()
+    for p in pages_rows:
+        text = naive_page_text(p["html"], p["text"])
+        for pos, surf in naive_mentions(text, surfaces):
+            want.add((p["url"], pos, surf, assets.surface_to_entity[surf]))
+    ds = extract_mentions(extract_text(read_pages(sf_dir)))
+    got = {(r["url"], r["pos"], r["surface"], r["entity_hint"]) for r in ds.take_all()}
+    assert got == want
+
+
+def test_canonicalize_matches_oracle(ray_session, sf_dir, pages_rows):
+    assets = default_assets()
+    ref = naive_canonicalize(naive_corpus_triples(pages_rows, assets))
+    ds = canonicalize_triples(extract_triples(extract_text(read_pages(sf_dir))), n_salt=4)
+    got = {(r["subj"], r["pred"], r["obj"]): (r["n_occurrences"], r["n_pages"]) for r in ds.take_all()}
+    assert got == ref
