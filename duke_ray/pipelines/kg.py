@@ -1,0 +1,157 @@
+"""Flagship knowledge-graph construction pipeline (north rule end-to-end).
+
+    read pages (Parquet, column-pruned)
+      -> extract_text            (stateless map_batches, html dropped early)
+      -> [checkpoint extracted]  (stage output written once; both the node
+                                  and the edge branch stream from it instead
+                                  of re-running extraction twice)
+      -> mentions -> link (actor pool, top-k NN)   -> node partial counts
+      -> triples  -> canonicalize (salted groupby) -> edges (broadcast
+                                                     surface->entity lookup)
+      -> write nodes/ + edges/ partitioned by key-hash bucket with
+         per-partition lineage manifests (resume skips stamped buckets)
+
+Driver-side state: config, side-asset handles, tiny per-entity aggregates,
+metrics. Corpus-sized data never reaches the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from .. import __version__
+from ..assets import SideAssets, default_assets
+from ..sources import read_pages
+from ..stages.canonicalize import canonicalize_triples
+from ..stages.extract import extract_text
+from ..stages.link import link_mentions
+from ..stages.triples import extract_mentions, extract_triples
+from ..state.manifest import write_partitioned_with_manifests
+
+
+def _node_partial_counts(batch: pa.Table) -> pa.Table:
+    """Map-side combine: linked-mention batch -> (entity_id, n) partials."""
+    linked = batch.filter(pa.compute.is_valid(batch["entity_id"]))
+    g = linked.group_by(["entity_id"]).aggregate([("entity_id", "count")])
+    return pa.table(
+        {
+            "entity_id": g["entity_id"],
+            "n": g["entity_id_count"].cast(pa.int64()),
+        }
+    )
+
+
+def build_nodes(linked_mentions: "ray.data.Dataset", assets: SideAssets) -> "ray.data.Dataset":
+    """Node table: entity metadata + exact mention counts.
+
+    Mention counts are Zipf-skewed per entity, so counting is map-side
+    partials (cardinality <= |E| per batch) + a tiny grouped sum — the only
+    shuffle is over |E| x n_batches partial rows.
+    """
+    from ray.data.aggregate import Sum
+
+    partials = linked_mentions.map_batches(_node_partial_counts, batch_format="pyarrow")
+    counts = partials.groupby("entity_id").aggregate(Sum("n", alias_name="n_mentions"))
+
+    surfaces = list(assets.entity_surfaces)
+    classes = list(assets.entity_classes)
+    tscores = assets.entity_type_scores
+
+    def attach_meta(batch: pa.Table) -> pa.Table:
+        ids = batch["entity_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "entity_id": batch["entity_id"].cast(pa.int64()),
+                "surface": pa.array([surfaces[i] for i in ids], pa.string()),
+                "class": pa.array([classes[i] for i in ids], pa.string()),
+                "type_score": pa.array(tscores[ids], pa.float32()),
+                "n_mentions": batch["n_mentions"].cast(pa.int64()),
+            }
+        )
+
+    return counts.map_batches(attach_meta, batch_format="pyarrow")
+
+
+def build_edges(canonical: "ray.data.Dataset", assets: SideAssets) -> "ray.data.Dataset":
+    """Edge table: canonical triples with surfaces resolved to entity ids via
+    the broadcast gazetteer (no shuffle join — SURVEY.md J5)."""
+    s2e = dict(assets.surface_to_entity)
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        subj = [s2e.get(s) for s in batch["subj"].to_pylist()]
+        obj = [s2e.get(s) for s in batch["obj"].to_pylist()]
+        return pa.table(
+            {
+                "subj_id": pa.array(subj, pa.int64()),
+                "pred": batch["pred"],
+                "obj_id": pa.array(obj, pa.int64()),
+                "n_occurrences": batch["n_occurrences"].cast(pa.int64()),
+                "n_pages": batch["n_pages"].cast(pa.int64()),
+            }
+        )
+
+    return canonical.map_batches(resolve, batch_format="pyarrow")
+
+
+def run_kg_pipeline(
+    sf_dir: str,
+    out_dir: str,
+    replicas: int = 1,
+    n_buckets: int = 16,
+    n_salt: int = 16,
+    assets: SideAssets | None = None,
+    checkpoint_extracted: bool = True,
+    link_k: int = 3,
+) -> dict:
+    """End-to-end KG build; returns the metrics dict (also written to
+    ``out_dir/metrics.json``)."""
+    assets = assets or default_assets()
+    fingerprint = f"{sf_dir}|replicas={replicas}|v={__version__}"
+
+    extracted = extract_text(read_pages(sf_dir, replicas=replicas))
+    if checkpoint_extracted:
+        ckpt = os.path.join(out_dir, "extracted")
+        os.makedirs(ckpt, exist_ok=True)
+        marker = os.path.join(ckpt, "_done.json")
+        if not (os.path.isfile(marker) and json.load(open(marker)).get("fingerprint") == fingerprint):
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
+            os.makedirs(ckpt, exist_ok=True)
+            extracted.write_parquet(ckpt)
+            with open(marker, "w") as f:
+                json.dump({"fingerprint": fingerprint}, f)
+        extracted = ray.data.read_parquet(ckpt)
+
+    # node branch
+    linked = link_mentions(extract_mentions(extracted), assets=assets, k=link_k)
+    nodes = build_nodes(linked, assets)
+    nodes_res = write_partitioned_with_manifests(
+        nodes, os.path.join(out_dir, "nodes"), key_cols=["entity_id"],
+        n_buckets=n_buckets, fingerprint=fingerprint,
+    )
+
+    # edge branch
+    canonical = canonicalize_triples(extract_triples(extracted), n_salt=n_salt)
+    edges = build_edges(canonical, assets)
+    edges_res = write_partitioned_with_manifests(
+        edges, os.path.join(out_dir, "edges"), key_cols=["subj_id", "pred", "obj_id"],
+        n_buckets=n_buckets, fingerprint=fingerprint,
+    )
+
+    metrics = {
+        "fingerprint": fingerprint,
+        "nodes": nodes_res,
+        "edges": edges_res,
+        "n_nodes": int(sum(nodes_res["rows"].values())),
+        "n_edges": int(sum(edges_res["rows"].values())),
+    }
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2, default=str)
+    return metrics

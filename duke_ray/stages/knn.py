@@ -1,0 +1,154 @@
+"""Similarity search over an embedding column — brute-force top-k baseline
+plus an LSH-bucketed near-duplicate variant (training-data-pipeline
+operators; the reference's only vector math is the class-sim matmul,
+/root/reference/Duke/dataset_descriptor.py:57).
+
+Scale shape: the query matrix is broadcast once (``ray.put`` by Ray's arg
+handling); each batch does one ``(B, d) @ (d, Q)`` matmul and emits only its
+per-query top-k candidate rows; a final grouped top-k over
+``n_batches x Q x k`` tiny rows finishes. The corpus never shuffles.
+The IVF/LSH variant buckets vectors by hyperplane signs so candidate
+generation is local to a bucket (the ANN scale path)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.vector import unit_norm_rows
+
+
+def _to_matrix(col, dim: int | None = None) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    nested = col.to_pylist()
+    return np.asarray(nested, dtype=np.float64)
+
+
+class BruteForceTopK:
+    """Per-batch exact cosine top-k against a pinned query matrix."""
+
+    def __init__(self, queries: np.ndarray, query_ids: np.ndarray, k: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        self.q = unit_norm_rows(np.asarray(queries, dtype=np.float64))
+        self.query_ids = np.asarray(query_ids, dtype=np.int64)
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _to_matrix(batch[self.vec_col])
+        mat = unit_norm_rows(mat)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = mat @ self.q.T                                   # (B, Q)
+        k = min(self.k, sims.shape[0])
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            top = np.argpartition(-col, k - 1)[:k] if k < len(col) else np.arange(len(col))
+            rows_q.append(np.full(len(top), self.query_ids[qi], dtype=np.int64))
+            rows_v.append(ids[top])
+            rows_s.append(col[top])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(rows_v), pa.int64()),
+                "cosine": pa.array(np.concatenate(rows_s), pa.float64()),
+            }
+        )
+
+
+def _final_topk(group: pd.DataFrame, k: int) -> pd.DataFrame:
+    g = group.sort_values(["cosine", "neighbor_id"], ascending=[False, True], kind="stable").head(k)
+    g = g.copy()
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[["query_id", "neighbor_id", "rank"]]
+
+
+def knn_topk(
+    vectors: "ray.data.Dataset",
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Exact cosine top-k of each query over the corpus.
+
+    Output (query_id, neighbor_id, rank) — ranks are deterministic
+    (ties broken by lower neighbor_id)."""
+    partial = vectors.map_batches(
+        BruteForceTopK(queries, query_ids, k, id_col, vec_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    return partial.groupby("query_id").map_groups(
+        lambda g: _final_topk(g, k), batch_format="pandas"
+    )
+
+
+# --- LSH-bucketed cosine near-neighbor pairs (ANN scale path) --------------
+
+class HyperplaneLSH:
+    """Bucket vectors by the sign pattern of r random hyperplanes; vectors in
+    the same bucket are cosine-near candidates."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 13,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        gen = np.random.Generator(np.random.Philox(key=seed))
+        self.planes = gen.standard_normal((n_planes, dim))
+        self.id_col, self.vec_col = id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = unit_norm_rows(_to_matrix(batch[self.vec_col]))
+        signs = (mat @ self.planes.T) > 0                         # (B, r)
+        bucket = np.zeros(len(mat), dtype=np.int64)
+        for j in range(signs.shape[1]):
+            bucket |= signs[:, j].astype(np.int64) << j
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "vec_id": batch[self.id_col].cast(pa.int64()),
+                "vec": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+            }
+        )
+
+
+def lsh_cosine_pairs(
+    vectors: "ray.data.Dataset",
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """Approximate near-dup pairs (cosine >= threshold) via one hyperplane
+    table; recall can be raised with multiple tables (union of outputs)."""
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy()
+        uniq, first = np.unique(ids, return_index=True)
+        mats = np.stack(group["vec"].to_numpy()[first]) if len(uniq) else np.empty((0, dim))
+        n = len(uniq)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64}
+            )
+        sims = mats @ mats.T
+        ia, ib = np.triu_indices(n, k=1)
+        keep = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"vec_a": uniq[ia[keep]], "vec_b": uniq[ib[keep]], "cosine": sims[ia[keep], ib[keep]]}
+        )
+
+    buckets = vectors.map_batches(
+        HyperplaneLSH(dim, n_planes, id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+    )
+    pairs = buckets.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))

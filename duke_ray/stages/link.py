@@ -1,0 +1,99 @@
+"""Entity linking — top-k nearest-neighbor embedding lookup (actor pool).
+
+North-rule stage (absent in the reference, SURVEY.md T5/J5): each mention
+surface is embedded with the same multi-word-mean rule as data values
+(/root/reference/Duke/embedding.py:33-34 semantics), scored against the
+unit-normed entity matrix with one batched matmul, and linked to its top-k
+nearest entities by cosine. The entity matrix + type scores are pinned once
+per actor; per batch the work is a (U x d) @ (d x E) matmul over the batch's
+*unique* surfaces (Zipfian mentions make U << batch rows).
+
+At web scale the entity index grows to 1e6-1e8 rows; the same stage then
+pins an IVF/LSH-sharded index per actor — the batch contract is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..assets import SideAssets, default_assets
+from ..text import normalize_text
+
+
+class LinkActor:
+    def __init__(self, assets: SideAssets | None = None, k: int = 3):
+        self.assets = assets or default_assets()
+        self.k = min(k, self.assets.entity_matrix.shape[0])
+        self._memo: dict[str, tuple | None] = {}
+
+    def _link_surface(self, surface: str):
+        memo = self._memo
+        if surface in memo:
+            return memo[surface]
+        assets = self.assets
+        keep, vecs = assets.embed_value_rows([normalize_text(surface)])
+        if not keep[0]:
+            res = None
+        else:
+            sims = assets.entity_matrix @ vecs[0]          # (E,)
+            k = self.k
+            top = np.argpartition(-sims, k - 1)[:k]
+            top = top[np.argsort(-sims[top], kind="stable")]
+            # deterministic tie-break: lower entity_id first among equal sims
+            order = np.lexsort((top, -sims[top]))
+            top = top[order]
+            best = int(top[0])
+            res = (
+                best,
+                float(sims[best]),
+                assets.entity_classes[best],
+                float(assets.entity_type_scores[best]),
+                [int(t) for t in top],
+            )
+        memo[surface] = res
+        return res
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        surfaces = batch["surface"].to_pylist()
+        linked = [self._link_surface(s) for s in surfaces]
+        return pa.table(
+            {
+                "url": batch["url"],
+                "pos": batch["pos"],
+                "surface": batch["surface"],
+                "entity_id": pa.array(
+                    [r[0] if r else None for r in linked], pa.int64()
+                ),
+                "link_score": pa.array(
+                    [r[1] if r else None for r in linked], pa.float32()
+                ),
+                "entity_class": pa.array(
+                    [r[2] if r else None for r in linked], pa.string()
+                ),
+                "type_score": pa.array(
+                    [r[3] if r else None for r in linked], pa.float32()
+                ),
+                "topk_ids": pa.array(
+                    [r[4] if r else None for r in linked], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+
+def link_mentions(
+    mentions: "ray.data.Dataset",
+    assets: SideAssets | None = None,
+    k: int = 3,
+    batch_size: int = 65536,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    return mentions.map_batches(
+        LinkActor,
+        fn_constructor_kwargs={"assets": assets, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,138 @@
+"""Multimodal (image/audio/video) column plumbing — real Ray-side topology,
+stubbed codecs.
+
+Binary media travel as opaque ``binary`` columns with typed metadata
+(mime, width/height or sample rate). Decode / feature-extract / resize /
+frame-sample run as actor-pool ``map_batches`` stages with SMALL batch
+sizes (payload bytes, not row count, bound the block). The actual codec
+calls are stubbed (no imaging/audio libs in this container): ``backend=
+"fake"`` produces deterministic features from the payload bytes so the
+schema/batching/actor plumbing is fully testable; ``backend="real"``
+raises ``NotImplementedError`` at the exact call site a codec would fill.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..text import fnv1a64
+
+MEDIA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("mime", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic fake media corpus (binary payloads of varying size)."""
+    gen = np.random.Generator(np.random.Philox(key=seed))
+    ids = np.arange(n, dtype=np.int64)
+    mimes = [["image/png", "image/jpeg", "audio/wav"][i % 3] for i in range(n)]
+    payloads = [gen.integers(0, 256, size=int(gen.integers(64, 4096)), dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "mime": pa.array(mimes, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array((ids % 640 + 32).astype(np.int32), pa.int32()),
+            "height": pa.array((ids % 480 + 32).astype(np.int32), pa.int32()),
+        },
+        schema=MEDIA,
+    )
+
+
+class DecodeFeaturesActor:
+    """payload binary -> fixed-size feature vector.
+
+    ``__init__`` is where a real backend would load its model/codec once per
+    actor; ``__call__`` is per batch. The fake backend derives features
+    deterministically from the payload hash (stable across processes)."""
+
+    def __init__(self, backend: str = "fake", feature_dim: int = FEATURE_DIM):
+        self.backend = backend
+        self.feature_dim = feature_dim
+        if backend == "real":
+            # a real deployment would do: self.model = load_image_model(...)
+            raise NotImplementedError(
+                "no imaging/audio codecs in this environment; use backend='fake'"
+            )
+
+    def _fake_features(self, payload: bytes) -> np.ndarray:
+        gen = np.random.Generator(np.random.Philox(key=fnv1a64(payload)))
+        return gen.standard_normal(self.feature_dim).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = np.stack([self._fake_features(p) for p in payloads]) if payloads else np.empty((0, self.feature_dim), np.float32)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "mime": batch["mime"],
+                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.ravel(), pa.float32()), self.feature_dim
+                ),
+            }
+        )
+
+
+def decode_features(
+    media: "ray.data.Dataset",
+    backend: str = "fake",
+    batch_size: int = 32,           # small: payload bytes bound the block
+    concurrency=(1, 4),
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        DecodeFeaturesActor,
+        fn_constructor_kwargs={"backend": backend},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+class FrameSampleActor:
+    """video payload -> every-nth-frame sample rows (flat_map-shaped batch
+    expansion). Fake backend slices the payload deterministically."""
+
+    def __init__(self, every_n: int = 10, backend: str = "fake"):
+        if backend == "real":
+            raise NotImplementedError("no video codecs in this environment")
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, blobs = [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            n_frames = max(1, len(payload) // 256)  # fake: 256 bytes/frame
+            for f in range(0, n_frames, self.every_n):
+                ids.append(mid)
+                frames.append(f)
+                blobs.append(payload[f * 256 : (f + 1) * 256])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_no": pa.array(frames, pa.int32()),
+                "frame": pa.array(blobs, pa.binary()),
+            }
+        )
+
+
+def sample_frames(media: "ray.data.Dataset", every_n: int = 10, batch_size: int = 16) -> "ray.data.Dataset":
+    return media.map_batches(
+        FrameSampleActor,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 2),
+    )

@@ -1,0 +1,169 @@
+"""Text analysis over a document corpus — language ID, quality scoring,
+token counting, fingerprinting (training-data-pipeline operators; the
+reference's text handling stops at normalization, /root/reference/Duke/utils.py:12-19).
+
+Every operator is a stateless or actor-pool ``map_batches`` over Arrow
+batches with vectorized kernels (pyarrow.compute regex counts / numpy);
+each SQL-expressible one has a DuckDB oracle in ``__ray_entry__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..text import fnv1a64_arrow
+from .tokens import FlatTokens
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def token_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(doc_id, n_tokens, n_chars, avg_token_len, stopword_ratio).
+
+    Deterministic spec: tokens = text split on single spaces (the corpus
+    normal form); stopword_ratio = stopword tokens / max(1, n_tokens),
+    avg_token_len = sum(len(token)) / max(1, n_tokens)."""
+    text = batch[text_col]
+    flat = FlatTokens.from_text(text)
+    n_rows = flat.n_rows
+    n_tokens = flat.row_lengths()
+    tok_lens = pc.utf8_length(flat.tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    sum_len = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(sum_len, flat.row, tok_lens)
+    is_stop = pc.is_in(flat.tokens, value_set=pa.array(STOPWORDS)).to_numpy(zero_copy_only=False)
+    n_stop = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(n_stop, flat.row, is_stop.astype(np.int64))
+    denom = np.maximum(n_tokens, 1)
+    return pa.table(
+        {
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_chars": pc.utf8_length(text).cast(pa.int64()),
+            "avg_token_len": pa.array(sum_len / denom, pa.float64()),
+            "stopword_ratio": pa.array(n_stop / denom, pa.float64()),
+        }
+    )
+
+
+def token_stats(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "ray.data.Dataset":
+    return docs.map_batches(
+        lambda b: token_stats_batch(b, id_col, text_col), batch_format="pyarrow", batch_size=8192
+    )
+
+
+def term_frequencies(docs: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """Global term counts: per-batch pyarrow group_by partials (cardinality
+    = batch vocab, tiny under Zipf) -> grouped sum over partials."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = FlatTokens.from_text(batch[text_col])
+        t = pa.table({"token": flat.tokens})
+        g = t.group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "n"])
+
+    partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    return partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+
+
+# --- language ID -----------------------------------------------------------
+
+_LANG_RULES = [
+    # (lang, RE2 character-class pattern) — checked in order, first hit wins
+    ("zh", r"[\x{4E00}-\x{9FFF}]"),
+    ("es", r"[ñ¿¡]"),
+    ("de", r"[äöüß]"),
+    ("fr", r"[àâçèéêëîïôùûœ]"),
+]
+
+
+def lang_id_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Deterministic rule-based language ID: first script/diacritic rule that
+    matches wins, else 'en'. (A character-n-gram heuristic in the spirit of
+    public langid approaches, reduced to exact rules so the DuckDB oracle can
+    mirror it.)"""
+    text = batch[text_col]
+    pred = None
+    for lang, pattern in reversed(_LANG_RULES):
+        hit = pc.match_substring_regex(text, pattern)
+        lang_arr = pa.array([lang] * len(batch), pa.string())
+        if pred is None:
+            pred = pc.if_else(hit, lang_arr, pa.array(["en"] * len(batch), pa.string()))
+        else:
+            pred = pc.if_else(hit, lang_arr, pred)
+    return pa.table({"doc_id": batch[id_col].cast(pa.int64()), "pred_lang": pred})
+
+
+def lang_id(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "ray.data.Dataset":
+    return docs.map_batches(
+        lambda b: lang_id_batch(b, id_col, text_col), batch_format="pyarrow", batch_size=8192
+    )
+
+
+# --- fingerprints ----------------------------------------------------------
+
+def fingerprint_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """(doc_id, md5, content_hash): md5 hex digest (DuckDB-oracle-able) plus
+    the engine's FNV-1a content hash."""
+    texts = batch[text_col].to_pylist()
+    md5s = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+    fnv = fnv1a64_arrow(batch[text_col]).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "md5": pa.array(md5s, pa.string()),
+            "content_hash": pa.array(fnv, pa.int64()),
+        }
+    )
+
+
+def fingerprints(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "ray.data.Dataset":
+    return docs.map_batches(
+        lambda b: fingerprint_batch(b, id_col, text_col), batch_format="pyarrow", batch_size=8192
+    )
+
+
+def winnow_fingerprints(
+    docs: "ray.data.Dataset",
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 public
+    algorithm): min hash per sliding window over k-gram token hashes ->
+    (doc_id, fingerprint) rows, the classic plagiarism/copy-detection
+    signature. Rows-only oracle (positional min logic is painful in SQL)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        from .dedup import _shingle_hashes
+
+        hashes, offs = _shingle_hashes(batch[text_col], k=k)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        out_doc, out_fp = [], []
+        for r in range(len(ids)):
+            seg = hashes[offs[r] : offs[r + 1]]
+            if len(seg) == 0:
+                continue
+            if len(seg) <= window:
+                fps = {int(seg.min())}
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(seg, window)
+                fps = set(int(v) for v in w.min(axis=1))
+            for fp in sorted(fps):
+                out_doc.append(ids[r])
+                out_fp.append(np.int64(np.uint64(fp).astype(np.int64)))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "fingerprint": pa.array(out_fp, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=4096)

@@ -124,7 +124,7 @@ class TripleExtractor:
         )
 
 
-def extract_mentions(extracted: "ray.data.Dataset", batch_size: int = 4096, concurrency=(2, 8)) -> "ray.data.Dataset":
+def extract_mentions(extracted: "ray.data.Dataset", batch_size: int = 4096, concurrency=(1, 8)) -> "ray.data.Dataset":
     return extracted.map_batches(
         TripleExtractor,
         fn_constructor_kwargs={"emit": "mentions"},
@@ -134,7 +134,7 @@ def extract_mentions(extracted: "ray.data.Dataset", batch_size: int = 4096, conc
     )
 
 
-def extract_triples(extracted: "ray.data.Dataset", batch_size: int = 4096, concurrency=(2, 8)) -> "ray.data.Dataset":
+def extract_triples(extracted: "ray.data.Dataset", batch_size: int = 4096, concurrency=(1, 8)) -> "ray.data.Dataset":
     return extracted.map_batches(
         TripleExtractor,
         fn_constructor_kwargs={"emit": "triples"},

@@ -42,6 +42,12 @@ ENTITY_SURFACES = [
 
 TRIPLE_WINDOW = 8  # max token distance pred <-> argument
 
+# FIXTURES.md §5 tabular-path words (header/cell vocabulary for the
+# summarization tests; 'notes' is OOV under the hash rule by construction).
+FIXTURE_WORDS = [
+    "player", "name", "team", "city", "position", "notes", "home", "runs", "total",
+]
+
 
 # --- embedding stand-in ----------------------------------------------------
 
@@ -70,7 +76,7 @@ def embed_words_mean(words: list[str]) -> np.ndarray | None:
 
 def build_vocab_table(extra_words: list[str] | None = None) -> pa.Table:
     """(word, vector) table over the corpus vocab + class/entity words."""
-    words = set(CORPUS_WORDS)
+    words = set(CORPUS_WORDS) | set(FIXTURE_WORDS)
     for surface in ENTITY_SURFACES:
         words.update(surface.split(" "))
     for cls in class_tree_dict():

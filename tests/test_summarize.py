@@ -1,0 +1,92 @@
+"""Duke-parity summarization pipeline vs the reference-semantics oracle
+(naive_summarize transliterates /root/reference/Duke/dataset_descriptor.py
+semantics on small data)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from duke_ray.assets import default_assets
+from duke_ray.oracle import naive_summarize
+from duke_ray.pipelines.summarize import pluralize, summarize_dataset
+
+
+@pytest.fixture(scope="module")
+def tabular_df():
+    # FIXTURES.md §5 shape: CamelCase header, numeric col (dtype-dropped),
+    # nullable col (null-dropped), OOV values ('wibble'/'blip' are OOV under
+    # the deterministic vocab rule), plus clean text sources.
+    return pd.DataFrame(
+        {
+            "PlayerName": ["fast query", "slow query", "big table", "hash join"],
+            "home-runs (total)": [1, 2, 3, 4],
+            "team_city": ["data stream", "key value", "batch window", "table scan"],
+            "position": ["row", None, "column", "key"],
+            "notes": ["wibble", "blip", "wibble blip", "wibble"],
+        }
+    )
+
+
+def expected_sources(df):
+    """Reference load_dataset semantics (/root/reference/Duke/dataset.py:33-71):
+    text cols by dtype, whole-column null drop, normalized source names,
+    'headers' fed with ALL original column names."""
+    return {
+        "headers": list(df.columns),
+        "player name": list(df["PlayerName"]),
+        "team city": list(df["team_city"]),
+        "notes": list(df["notes"]),  # all-OOV: every value drops -> source vanishes
+    }
+
+
+@pytest.mark.parametrize("row_agg,tree_agg,source_agg", [
+    ("mean", "mean+max", "mean"),
+    ("mean", "mean", "mean"),
+    ("max", "max", "max"),
+    ("max", "mean+max", "mean"),
+])
+def test_summarize_matches_oracle(ray_session, tabular_df, row_agg, tree_agg, source_agg):
+    assets = default_assets()
+    ds = ray.data.from_pandas(tabular_df)
+    res = summarize_dataset(ds, row_agg=row_agg, tree_agg=tree_agg, source_agg=source_agg, assets=assets)
+    want = naive_summarize(expected_sources(tabular_df), assets, row_agg, tree_agg, source_agg)
+    np.testing.assert_allclose(res.final_scores, want, rtol=1e-10)
+    # all-OOV source dropped, null column dropped, numeric column dropped;
+    # 'headers' survives (its 'notes' value drops — OOV — but others embed)
+    assert set(res.source_names) == {"headers", "player name", "team city"}
+    assert res.n_kept["headers"] == 4 and res.n_total["headers"] == 5
+
+
+def test_summarize_top_n_and_description(ray_session, tabular_df):
+    res = summarize_dataset(ray.data.from_pandas(tabular_df))
+    words, scores = res.top_n_words(5)
+    assert len(words) == 5 and len(scores) == 5
+    assert all(w in res.classes for w in words)
+    # scores descending
+    vals = [float(s) for s in scores]
+    assert vals == sorted(vals, reverse=True)
+    assert res.description() == f"This dataset is about {pluralize(words[0])}."
+
+
+def test_summarize_documents_table(ray_session, sf_dir):
+    """The flagship 'describe this dataset' product over the driver corpus."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text", "lang", "source"])
+    res = summarize_dataset(ds)
+    assert res.final_scores.shape == (len(res.classes),)
+    assert np.isfinite(res.final_scores).all()
+    # 'lang'/'source' values (en, src0, ...) are outside the embedding vocab
+    # and legitimately vanish; the document text source must survive
+    assert "text" in res.source_names and res.n_kept["text"] > 0
+
+
+def test_explicit_columns(ray_session, tabular_df):
+    res = summarize_dataset(ray.data.from_pandas(tabular_df), columns=["PlayerName"])
+    assert set(res.source_names) == {"headers", "player name"}
+
+
+def test_pluralize():
+    assert pluralize("query") == "queries"
+    assert pluralize("table scan") == "table scans"
+    assert pluralize("hash") == "hashes"
