@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline at sf0.001. ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data operators); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible one (driver compares row count + schema +
+order-insensitive value hash at sf0.01).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
+
+Column-name discipline: every computed column is named identically in the
+Ray pipeline and in the SQL (the driver sorts columns by name before
+hashing). Float-valued aggregates are expressed in exact integer units
+(cents / milli) wherever summation order could cause drift.
 """
 
 from __future__ import annotations
@@ -18,27 +20,501 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+# --- helpers ----------------------------------------------------------------
+
+def _extracted(sf_dir: str):
+    """pages -> extracted text with doc_id recovered from url (the pages
+    table is derived 1:1 from documents; see duke_ray/sources/tables.py)."""
+    from duke_ray.sources import read_pages
+    from duke_ray.stages.extract import extract_text
+    from duke_ray.synth import doc_id_from_url_arrow
+
+    ds = extract_text(read_pages(sf_dir))
+
+    def add_doc_id(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": doc_id_from_url_arrow(batch["url"]),
+                "text": batch["text"],
+                "lang": batch["lang"],
+            }
+        )
+
+    return ds.map_batches(add_doc_id, batch_format="pyarrow")
+
+
+def _url_to_doc_id(ds, keep: list[str]):
+    from duke_ray.synth import doc_id_from_url_arrow
+
+    def conv(batch: pa.Table) -> pa.Table:
+        cols = {"doc_id": doc_id_from_url_arrow(batch["url"])}
+        for c in keep:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    return ds.map_batches(conv, batch_format="pyarrow")
+
+
+def _surfaces_sql_list() -> str:
+    from duke_ray.assets import default_assets
+
+    return ", ".join(f"'{s}'" for s in default_assets().surface_to_entity)
+
+
+def _preds_sql_list() -> str:
+    from duke_ray.assets import default_assets
+
+    return ", ".join(f"'{p}'" for p in sorted(default_assets().pred_words))
+
+
+_TOKS_CTE = """
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+)
+"""
+
+
+def _triples_sql_core() -> str:
+    """Shared CTE chain producing (doc_id, subj, pred, obj, pred_pos)."""
+    from duke_ray.synth import TRIPLE_WINDOW
+
+    return f"""
+WITH {_TOKS_CTE},
+m AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ({_surfaces_sql_list()}) THEN pos END AS mpos
+  FROM toks
+),
+w AS (
+  SELECT doc_id, pos, tok,
+    last_value(mpos IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_pos,
+    last_value(CASE WHEN mpos IS NOT NULL THEN tok END IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_tok,
+    first_value(mpos IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_pos,
+    first_value(CASE WHEN mpos IS NOT NULL THEN tok END IGNORE NULLS) OVER
+      (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_tok
+  FROM m
+),
+triples AS (
+  SELECT doc_id, prev_tok AS subj, tok AS pred, next_tok AS obj,
+         CAST(pos AS INTEGER) AS pred_pos
+  FROM w
+  WHERE tok IN ({_preds_sql_list()})
+    AND prev_pos IS NOT NULL AND next_pos IS NOT NULL
+    AND pos - prev_pos <= {TRIPLE_WINDOW} AND next_pos - pos <= {TRIPLE_WINDOW}
+)
+"""
+
+
+# --- entry ------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship KG pipeline at sf0.001; returns the edge table Dataset."""
+    import shutil
 
+    out = "/tmp/duke_ray_entry"
+    shutil.rmtree(out, ignore_errors=True)
+    from duke_ray.pipelines.kg import run_kg_pipeline
+
+    run_kg_pipeline("/root/testdata/sf0.001", out, n_buckets=8, n_salt=8)
+    import ray.data
+
+    return ray.data.read_parquet(f"{out}/edges")
+
+
+# --- queries ----------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from duke_ray.assets import default_assets
+    from duke_ray.sources import read_table
+    from duke_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {}
 
+    # -- KG path over pages (oracles run on the 1:1 documents view) --------
+    q["extract_text"] = lambda sf: _extracted(sf).select_columns(["doc_id", "text"])
+
+    def token_counts(sf):
+        from duke_ray.stages.textstats import token_stats
+
+        return token_stats(_extracted(sf)).select_columns(["doc_id", "n_tokens"])
+
+    q["token_counts"] = token_counts
+
+    def token_stats_full(sf):
+        from duke_ray.stages.textstats import token_stats
+
+        return token_stats(_extracted(sf))
+
+    q["token_stats"] = token_stats_full
+
+    def term_frequencies(sf):
+        from duke_ray.stages.textstats import term_frequencies as tf
+
+        return tf(_extracted(sf))
+
+    q["term_frequencies"] = term_frequencies
+
+    def mentions(sf):
+        from duke_ray.stages.triples import extract_mentions
+        from duke_ray.sources import read_pages
+        from duke_ray.stages.extract import extract_text
+
+        ds = extract_mentions(extract_text(read_pages(sf)))
+        return _url_to_doc_id(ds, ["pos", "surface"])
+
+    q["mentions"] = mentions
+
+    def triples(sf):
+        from duke_ray.stages.triples import extract_triples
+        from duke_ray.sources import read_pages
+        from duke_ray.stages.extract import extract_text
+
+        ds = extract_triples(extract_text(read_pages(sf)))
+        return _url_to_doc_id(ds, ["subj", "pred", "obj", "pred_pos"])
+
+    q["triples"] = triples
+
+    def canonical_triples(sf):
+        from duke_ray.sources import read_pages
+        from duke_ray.stages.canonicalize import canonicalize_triples
+        from duke_ray.stages.extract import extract_text
+        from duke_ray.stages.triples import extract_triples
+
+        return canonicalize_triples(extract_triples(extract_text(read_pages(sf))), n_salt=16)
+
+    q["canonical_triples"] = canonical_triples
+
+    def kg_edges(sf):
+        from duke_ray.pipelines.kg import build_edges
+        from duke_ray.sources import read_pages
+        from duke_ray.stages.canonicalize import canonicalize_triples
+        from duke_ray.stages.extract import extract_text
+        from duke_ray.stages.triples import extract_triples
+
+        canon = canonicalize_triples(extract_triples(extract_text(read_pages(sf))), n_salt=16)
+        return build_edges(canon, default_assets())
+
+    q["kg_edges"] = kg_edges
+
+    def kg_nodes(sf):
+        from duke_ray.pipelines.kg import build_nodes
+        from duke_ray.sources import read_pages
+        from duke_ray.stages.extract import extract_text
+        from duke_ray.stages.link import link_mentions
+        from duke_ray.stages.triples import extract_mentions
+
+        linked = link_mentions(extract_mentions(extract_text(read_pages(sf))))
+        nodes = build_nodes(linked, default_assets())
+        return nodes.select_columns(["entity_id", "surface", "class", "n_mentions"])
+
+    q["kg_nodes"] = kg_nodes
+
+    def entity_link(sf):
+        """Linked mentions (rows-only: embedding NN not SQL-expressible)."""
+        from duke_ray.sources import read_pages
+        from duke_ray.stages.extract import extract_text
+        from duke_ray.stages.link import link_mentions
+        from duke_ray.stages.triples import extract_mentions
+
+        ds = link_mentions(extract_mentions(extract_text(read_pages(sf))))
+        return _url_to_doc_id(ds, ["pos", "surface", "entity_id", "entity_class"])
+
+    q["entity_link"] = entity_link
+
+    # -- dedup family ------------------------------------------------------
+    def exact_dedup(sf):
+        from duke_ray.stages.dedup import exact_dedup as dd
+
+        return dd(_extracted(sf))
+
+    q["exact_dedup"] = exact_dedup
+
+    def _perturbed_corpus(sf):
+        """documents plus deterministic near-duplicates: copy of each doc
+        with its first 3 tokens dropped, doc_id += 10_000_000."""
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+        def variants(batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(batch["text"], pattern=" ")
+            clipped = pc.binary_join(pc.list_slice(toks, 3), " ")
+            return pa.table(
+                {
+                    "doc_id": pc.add(batch["doc_id"], pa.scalar(10_000_000, pa.int64())),
+                    "text": clipped,
+                }
+            )
+
+        return docs.union(docs.map_batches(variants, batch_format="pyarrow"))
+
+    def near_dup_minhash(sf):
+        from duke_ray.stages.dedup import minhash_near_dup_pairs
+
+        return minhash_near_dup_pairs(_perturbed_corpus(sf), threshold=0.6)
+
+    q["near_dup_minhash"] = near_dup_minhash
+
+    def near_dup_simhash(sf):
+        from duke_ray.stages.dedup import simhash_near_dup_pairs
+
+        return simhash_near_dup_pairs(_perturbed_corpus(sf), max_hamming=3)
+
+    q["near_dup_simhash"] = near_dup_simhash
+
+    def ngram_jaccard(sf):
+        from duke_ray.stages.dedup import ngram_jaccard_pairs
+
+        return ngram_jaccard_pairs(_perturbed_corpus(sf), threshold=0.6)
+
+    q["ngram_jaccard"] = ngram_jaccard
+
+    def dedup_clusters(sf):
+        from duke_ray.stages.dedup import cluster_pairs, minhash_near_dup_pairs
+
+        pairs = minhash_near_dup_pairs(_perturbed_corpus(sf), threshold=0.6)
+        return cluster_pairs(pairs)
+
+    q["dedup_clusters"] = dedup_clusters
+
+    # -- similarity search -------------------------------------------------
+    def knn_topk(sf):
+        import pyarrow.parquet as pq
+
+        from duke_ray.stages.knn import knn_topk as knn
+
+        emb = pq.read_table(f"{sf}/embeddings.parquet")
+        qmask = pc.less(emb["vec_id"], pa.scalar(5, pa.int64()))
+        qtbl = emb.filter(qmask)
+        queries_mat = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+        qids = np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64)
+        vectors = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+        return knn(vectors, queries_mat, qids, k=5)
+
+    q["knn_topk"] = knn_topk
+
+    def lsh_cosine_pairs(sf):
+        """Embedding near-dup pairs over the corpus plus deterministic noisy
+        copies (vec_id + 10M, vector + 0.1*Philox(vec_id) noise) — the driver
+        embeddings are isotropic-random, so real near-dups must be planted."""
+        from duke_ray.stages.knn import lsh_cosine_pairs as lsh
+
+        vectors = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+
+        def noisy(batch: pa.Table) -> pa.Table:
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+            out = []
+            for i, vid in enumerate(ids):
+                gen = np.random.Generator(np.random.Philox(key=int(vid)))
+                g = gen.standard_normal(mat.shape[1])
+                # ~3% relative perturbation -> cosine ~0.9995 to the original
+                out.append(mat[i] + 0.03 * np.linalg.norm(mat[i]) * g / np.linalg.norm(g))
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids + 10_000_000, pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in out], pa.list_(pa.float64())),
+                }
+            )
+
+        def to_f64(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"].cast(pa.int64()),
+                    "embedding": batch["embedding"].cast(pa.list_(pa.float64())),
+                }
+            )
+
+        corpus = vectors.map_batches(to_f64, batch_format="pyarrow").union(
+            vectors.map_batches(noisy, batch_format="pyarrow")
+        )
+        return lsh(corpus, threshold=0.9)
+
+    q["lsh_cosine_pairs"] = lsh_cosine_pairs
+
+    # -- text analysis -----------------------------------------------------
+    def lang_id(sf):
+        from duke_ray.stages.textstats import lang_id as li
+
+        return li(_extracted(sf))
+
+    q["lang_id"] = lang_id
+
+    def fingerprints_md5(sf):
+        from duke_ray.stages.textstats import fingerprints
+
+        return fingerprints(_extracted(sf)).select_columns(["doc_id", "md5"])
+
+    q["fingerprints_md5"] = fingerprints_md5
+
+    def winnow(sf):
+        from duke_ray.stages.textstats import winnow_fingerprints
+
+        return winnow_fingerprints(_extracted(sf))
+
+    q["winnow_fingerprints"] = winnow
+
+    # -- summarization (the reference's product; NumPy-oracle unit tests) --
+    def summarize_topn(sf):
+        import pandas as pd
+
+        import ray.data
+
+        from duke_ray.pipelines.summarize import summarize_dataset
+
+        ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text", "lang", "source"])
+        res = summarize_dataset(ds)
+        words, scores = res.top_n_words(10)
+        return pd.DataFrame({"rank": np.arange(1, len(words) + 1, dtype=np.int64), "class": words})
+
+    q["summarize_topn"] = summarize_topn
+
+    # -- relational coverage ----------------------------------------------
+    q["pricing_summary"] = rel.pricing_summary
+    q["top_customers"] = rel.top_customers_by_revenue
+    q["customers_per_region"] = rel.customers_per_region
+    q["filtered_parts"] = rel.filtered_parts
+    q["events_tumbling"] = rel.events_tumbling_hourly
+    q["user_event_spans"] = rel.user_event_spans
+    q["distinct_segments"] = rel.distinct_segments
+
+    # -- multimodal plumbing (synthetic media; rows-only) ------------------
+    def media_features(sf):
+        import ray.data
+
+        from duke_ray.stages.multimodal import decode_features, synth_media_table
+
+        media = ray.data.from_arrow(synth_media_table(n=64))
+        return decode_features(media, backend="fake").select_columns(
+            ["media_id", "mime", "n_bytes"]
+        )
+
+    q["media_features"] = media_features
+
+    return q
+
+
+# --- oracle SQL -------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from duke_ray.assets import default_assets
+    from duke_ray.stages.textstats import STOPWORDS
+    from duke_ray.synth import in_vocab_word
+
+    assets = default_assets()
+    surfaces = _surfaces_sql_list()
+    stop_list = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+    # entity metadata as a VALUES relation (the gazetteer is a fixed,
+    # code-defined constant — legitimately inlined into the oracle)
+    ent_values = ", ".join(
+        f"({eid}, '{s}', '{assets.entity_classes[eid]}')"
+        for s, eid in assets.surface_to_entity.items()
+    )
+    linkable = ", ".join(
+        f"'{s}'"
+        for s in assets.entity_surfaces
+        if all(in_vocab_word(w) for w in s.split(" "))
+    )
+
+    sql: dict[str, str] = {}
+
+    sql["extract_text"] = "SELECT doc_id, text FROM documents"
+
+    sql["token_counts"] = (
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
+    )
+
+    sql["token_stats"] = f"""
+WITH {_TOKS_CTE}
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       ANY_VALUE(length(d.text)) AS n_chars,
+       SUM(length(t.tok)) / GREATEST(COUNT(*), 1) AS avg_token_len,
+       SUM(CASE WHEN t.tok IN ({stop_list}) THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1) AS stopword_ratio
+FROM toks t JOIN documents d USING (doc_id)
+GROUP BY t.doc_id
+"""
+
+    sql["term_frequencies"] = f"""
+WITH {_TOKS_CTE}
+SELECT tok AS token, COUNT(*) AS n FROM toks GROUP BY tok
+"""
+
+    sql["mentions"] = f"""
+WITH {_TOKS_CTE}
+SELECT doc_id, CAST(pos AS INTEGER) AS pos, tok AS surface
+FROM toks WHERE tok IN ({surfaces})
+"""
+
+    sql["triples"] = _triples_sql_core() + "SELECT doc_id, subj, pred, obj, pred_pos FROM triples"
+
+    sql["canonical_triples"] = _triples_sql_core() + """
+SELECT subj, pred, obj, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_pages
+FROM triples GROUP BY subj, pred, obj
+"""
+
+    sql["kg_edges"] = _triples_sql_core() + f"""
+, ent(entity_id, surface, class) AS (VALUES {ent_values})
+SELECT es.entity_id AS subj_id, t.pred, eo.entity_id AS obj_id,
+       COUNT(*) AS n_occurrences, COUNT(DISTINCT t.doc_id) AS n_pages
+FROM triples t JOIN ent es ON t.subj = es.surface
+               JOIN ent eo ON t.obj = eo.surface
+GROUP BY es.entity_id, t.pred, eo.entity_id
+"""
+
+    sql["kg_nodes"] = f"""
+WITH {_TOKS_CTE},
+ent(entity_id, surface, class) AS (VALUES {ent_values})
+SELECT e.entity_id, e.surface, e.class, COUNT(*) AS n_mentions
+FROM toks t JOIN ent e ON t.tok = e.surface
+WHERE t.tok IN ({linkable})
+GROUP BY e.entity_id, e.surface, e.class
+"""
+
+    sql["exact_dedup"] = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+    sql["lang_id"] = """
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') THEN 'zh'
+       WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es'
+       WHEN regexp_matches(text, '[äöüß]') THEN 'de'
+       WHEN regexp_matches(text, '[àâçèéêëîïôùûœ]') THEN 'fr'
+       ELSE 'en' END AS pred_lang
+FROM documents
+"""
+
+    sql["fingerprints_md5"] = "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+    sql["knn_topk"] = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, e.vec_id ASC
+         ) AS rank
+  FROM q CROSS JOIN embeddings e
+) WHERE rank <= 5
+"""
+
+    from duke_ray.pipelines import relational as rel
+
+    sql["pricing_summary"] = rel.PRICING_SUMMARY_SQL
+    sql["top_customers"] = rel.top_customers_sql()
+    sql["customers_per_region"] = rel.CUSTOMERS_PER_REGION_SQL
+    sql["filtered_parts"] = rel.filtered_parts_sql()
+    sql["events_tumbling"] = rel.EVENTS_TUMBLING_SQL
+    sql["user_event_spans"] = rel.USER_EVENT_SPANS_SQL
+    sql["distinct_segments"] = rel.DISTINCT_SEGMENTS_SQL
+
+    return sql

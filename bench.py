@@ -1,0 +1,142 @@
+"""Benchmark driver (driver contract + scaling evidence).
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32)
+and print ONE JSON line:
+  {"metric": "kg_pipeline_sec", "value": N, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "docs_per_sec": ..., "triples_per_sec": ...}
+
+--scaling: run the SAME job twice in fresh processes at num_cpus=8 and 32
+(the sandbox protocol standing in for N- vs 4N-node clusters, BASELINE.md)
+and print throughput at both + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+REPLICAS = int(os.environ.get("GRAFT_REPLICAS", "4"))
+
+
+def run_bench() -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR", ignore_reinit_error=True)
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from duke_ray.pipelines.kg import run_kg_pipeline
+    from duke_ray.sources import documents_row_count
+
+    out = f"/tmp/duke_ray_bench_{NUM_CPUS}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    # warm the OS page cache so both scaling levels measure compute+shuffle
+    with open(os.path.join(SF_DIR, "documents.parquet"), "rb") as f:
+        f.read()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    metrics = run_kg_pipeline(SF_DIR, out, replicas=REPLICAS, n_buckets=16, n_salt=16)
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    n_docs = documents_row_count(SF_DIR) * REPLICAS
+    n_triple_occurrences = 0
+    try:
+        import duckdb
+
+        n_triple_occurrences = duckdb.sql(
+            f"SELECT COALESCE(SUM(n_occurrences), 0) FROM read_parquet('{out}/edges/bucket=*/*.parquet')"
+        ).fetchone()[0]
+    except Exception:  # noqa: BLE001
+        pass
+
+    # secondary pipelines (timed, smaller weight)
+    from duke_ray.pipelines.relational import pricing_summary, top_customers_by_revenue
+    from duke_ray.stages.dedup import minhash_near_dup_pairs
+    from duke_ray.sources import read_table
+
+    t0 = time.time()
+    pricing_summary(SF_DIR).to_pandas()
+    timings["pricing_summary"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    top_customers_by_revenue(SF_DIR).to_pandas()
+    timings["top_customers"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    minhash_near_dup_pairs(
+        read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+    ).count()
+    timings["minhash_dedup"] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "kg_pipeline_sec",
+        "value": timings["kg_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicas": REPLICAS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / kg_sec, 1),
+        "n_triple_occurrences": int(n_triple_occurrences),
+        "triples_per_sec": round(int(n_triple_occurrences) / kg_sec, 1),
+        "n_nodes": metrics["n_nodes"],
+        "n_edges": metrics["n_edges"],
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run_at(lo)
+    r_hi = run_at(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "triples_per_sec_8": r_lo["triples_per_sec"],
+        "triples_per_sec_32": r_hi["triples_per_sec"],
+        "sf": SF_DIR,
+        "replicas": REPLICAS,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

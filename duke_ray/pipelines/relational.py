@@ -22,7 +22,7 @@ from ..sources import read_table
 
 
 def _cents(col) -> pa.Array:
-    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0)), round_mode="half_towards_infinity"), pa.int64())
 
 
 # Q1-style pricing summary ---------------------------------------------------
@@ -44,7 +44,7 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+                "qty": pc.cast(pc.round(batch["l_quantity"], round_mode="half_towards_infinity"), pa.int64()),
                 "price_cents": _cents(batch["l_extendedprice"]),
                 "disc_price_cents": _cents(disc_price),
                 "n": pa.array(np.ones(len(batch), dtype=np.int64), pa.int64()),
@@ -229,7 +229,7 @@ def events_tumbling_hourly(sf_dir: str) -> "ray.data.Dataset":
             {
                 "event_type": batch["event_type"],
                 "window_start": hour.cast(pa.timestamp("us")),
-                "value_milli": pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(1000.0))), pa.int64()),
+                "value_milli": pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(1000.0)), round_mode="half_towards_infinity"), pa.int64()),
                 "n": pa.array(np.ones(len(batch), dtype=np.int64), pa.int64()),
             }
         )
@@ -283,7 +283,7 @@ def user_event_spans(sf_dir: str) -> "ray.data.Dataset":
                 "user_id": batch["user_id"],
                 "first_us": batch["ts"].cast(pa.int64()),
                 "last_us": batch["ts"].cast(pa.int64()),
-                "value_milli": pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(1000.0))), pa.int64()),
+                "value_milli": pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(1000.0)), round_mode="half_towards_infinity"), pa.int64()),
                 "n": pa.array(np.ones(len(batch), dtype=np.int64), pa.int64()),
             }
         )

@@ -1,0 +1,145 @@
+"""Dedup family + similarity search vs naive single-process oracles on
+small corpora."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from duke_ray.stages.dedup import (
+    cluster_pairs,
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from duke_ray.stages.knn import knn_topk, lsh_cosine_pairs
+
+
+@pytest.fixture(scope="module")
+def corpus(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # add exact dup of doc 0 and a near-dup of each doc (first 3 tokens cut)
+    texts = docs["text"].to_pylist()
+    ids = docs["doc_id"].to_pylist()
+    near_ids = [i + 10_000_000 for i in ids]
+    near_texts = [" ".join(t.split(" ")[3:]) for t in texts]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids + near_ids + [20_000_000], pa.int64()),
+            "text": pa.array(texts + near_texts + [texts[0]], pa.string()),
+        }
+    )
+    return tbl
+
+
+def naive_jaccard(a: str, b: str, k: int = 3) -> float:
+    def sh(t):
+        toks = t.split(" ")
+        if len(toks) < k:
+            return {tuple(toks)}
+        return {tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / max(1, len(sa | sb))
+
+
+def test_exact_dedup_finds_exact_duplicate(corpus):
+    ds = ray.data.from_arrow(corpus)
+    survivors = set(r["doc_id"] for r in exact_dedup(ds).take_all())
+    # doc 20_000_000 is an exact copy of doc 0 -> only doc 0 survives
+    assert 0 in survivors and 20_000_000 not in survivors
+    assert len(survivors) == len(corpus) - 1
+
+
+def test_minhash_finds_planted_near_dups(corpus):
+    ds = ray.data.from_arrow(corpus)
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in minhash_near_dup_pairs(ds, threshold=0.5).take_all()}
+    ids = [i for i in corpus["doc_id"].to_pylist() if i < 10_000_000 and i != 20_000_000]
+    texts = dict(zip(corpus["doc_id"].to_pylist(), corpus["text"].to_pylist()))
+    # recall over planted pairs whose true jaccard is comfortably above threshold
+    planted = [
+        (i, i + 10_000_000)
+        for i in ids
+        if naive_jaccard(texts[i], texts[i + 10_000_000]) >= 0.7
+    ]
+    assert planted, "no high-jaccard planted pairs — fixture broken"
+    found = sum(1 for p in planted if p in pairs)
+    assert found / len(planted) >= 0.9, (found, len(planted))
+    # precision: every reported pair has true jaccard not far below threshold
+    for (a, b), est in pairs.items():
+        true_j = naive_jaccard(texts[a], texts[b])
+        assert true_j >= 0.3, (a, b, est, true_j)
+
+
+def test_simhash_exact_dup_has_zero_hamming(corpus):
+    ds = ray.data.from_arrow(corpus)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_dup_pairs(ds, max_hamming=3).take_all()}
+    assert pairs.get((0, 20_000_000)) == 0
+
+
+def test_ngram_jaccard_exact_values(corpus):
+    ds = ray.data.from_arrow(corpus)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(ds, threshold=0.6).take_all()}
+    texts = dict(zip(corpus["doc_id"].to_pylist(), corpus["text"].to_pylist()))
+    # reported jaccards are EXACT (verification recomputes from shingle sets)
+    for (a, b), j in got.items():
+        assert abs(naive_jaccard(texts[a], texts[b]) - j) < 1e-12
+    assert got.get((0, 20_000_000)) == 1.0
+
+
+def test_cluster_pairs_components(ray_session):
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([1, 2, 10, 30], pa.int64()),
+                "doc_b": pa.array([2, 3, 11, 31], pa.int64()),
+            }
+        )
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).take_all()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30}
+
+
+def test_knn_matches_naive(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    q = mat[:3]
+    qids = ids[:3]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in knn_topk(ds, q, qids, k=4).take_all()}
+
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = mn @ qn.T
+    for qi in range(3):
+        order = np.lexsort((ids, -sims[:, qi]))[:4]
+        for rank, idx in enumerate(order, 1):
+            assert got[(qids[qi], rank)] == ids[idx]
+
+
+def test_lsh_cosine_pairs_high_recall_on_planted(ray_session):
+    gen = np.random.Generator(np.random.Philox(key=3))
+    base = gen.standard_normal((50, 64))
+    # plant 10 near-identical pairs
+    noisy = base[:10] + 0.05 * gen.standard_normal((10, 64))
+    mat = np.vstack([base, noisy])
+    ids = np.arange(len(mat), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
+            }
+        )
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in lsh_cosine_pairs(ds, threshold=0.95, n_planes=8).take_all()}
+    planted = {(i, 50 + i) for i in range(10)}
+    assert len(pairs & planted) >= 7  # single-table LSH: high-but-not-total recall
