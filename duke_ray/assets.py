@@ -22,12 +22,10 @@ from .functions.vector import fixed_list_to_matrix, unit_norm_rows
 from .schemas import EMBED_DIM
 from .stages.treeagg import TreeTopo, tree_score_matrix
 from .synth import (
-    ENTITY_SURFACES,
     PRED_WORDS,
     build_vocab_table,
     class_tree_dict,
     entities_table,
-    in_vocab_word,
 )
 
 
@@ -104,13 +102,44 @@ class SideAssets:
     # --- construction ------------------------------------------------------
 
     @classmethod
+    def build(
+        cls,
+        tree=None,
+        vocab_table: "pa.Table | str | None" = None,
+        entities: "pa.Table | str | None" = None,
+        tree_agg: str = "mean+max",
+    ) -> "SideAssets":
+        """Dependency-injected construction (the reference's ``embedding=`` /
+        ``tree=`` path-or-object hooks, /root/reference/Duke/dataset_descriptor.py:29-31):
+        each side asset may be a prebuilt object, a file path (class-tree
+        JSON / parquet), or None for the deterministic synthetic default."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from .synth import load_class_tree_json
+
+        if isinstance(tree, str):
+            tree = load_class_tree_json(tree)
+        if isinstance(vocab_table, str):
+            vocab_table = pq.read_table(vocab_table)
+        if isinstance(entities, str):
+            entities = pq.read_table(entities)
+        return cls._build_impl(tree, vocab_table, entities, tree_agg)
+
+    @classmethod
     def build_synthetic(cls, tree_agg: str = "mean+max") -> "SideAssets":
-        vocab_tbl = build_vocab_table()
+        return cls._build_impl(None, None, None, tree_agg)
+
+    @classmethod
+    def _build_impl(cls, tree_dict, vocab_tbl, ent_tbl, tree_agg: str) -> "SideAssets":
+        vocab_tbl = vocab_tbl if vocab_tbl is not None else build_vocab_table()
         words = vocab_tbl["word"].to_pylist()
         vmat = fixed_list_to_matrix(vocab_tbl["vector"], EMBED_DIM)
         vindex = {w: i for i, w in enumerate(words)}
 
-        tree = normalize_class_tree(class_tree_dict(), in_vocab_word)
+        raw_tree = tree_dict if tree_dict is not None else class_tree_dict()
+        # vocab membership for pruning = presence in the actual vocab table
+        tree = normalize_class_tree(raw_tree, lambda w: w in vindex)
         classes = sorted(tree)
         cmat = np.stack(
             [vmat[[vindex[w] for w in name.split(" ")]].mean(axis=0) for name in classes]
@@ -118,7 +147,11 @@ class SideAssets:
         cmat = unit_norm_rows(cmat).astype(np.float32)
         topo = TreeTopo.from_tree(tree, classes)
 
-        ent_tbl = entities_table()
+        ent_tbl = ent_tbl if ent_tbl is not None else entities_table()
+        ids = ent_tbl["entity_id"].to_pylist()
+        if ids != list(range(len(ids))):
+            raise ValueError("entity_id must equal row index (engine convention: "
+                             "LinkActor emits matrix row indices as entity ids)")
         surfaces = ent_tbl["surface"].to_pylist()
         emat = fixed_list_to_matrix(ent_tbl["vector"], EMBED_DIM)
         eclasses = ent_tbl["class"].to_pylist()
@@ -147,7 +180,9 @@ class SideAssets:
             entity_classes=eclasses,
             entity_type_scores=type_scores,
             pred_words=frozenset(PRED_WORDS),
-            surface_to_entity={s: i for i, s in enumerate(ENTITY_SURFACES)},
+            surface_to_entity=dict(
+                zip(surfaces, ent_tbl["entity_id"].to_pylist())
+            ),
         )
 
 

@@ -1,0 +1,34 @@
+"""Session-level Ray Data tuning.
+
+``read_op_min_num_blocks`` defaults to 200, which pads SMALL inputs out to
+200 blocks — every downstream stage then pays 200 task launches and the
+sort-shuffle pays 200x200 exchange overhead (measured: a trivial 5000-row
+groupby costs ~3s at 200 blocks vs ~0.3s at 8). At 100 TB the block count
+is governed by ``target_max_block_size`` (128 MiB), so lowering the floor
+to ~2x CPUs keeps full parallelism on big data while removing pure
+overhead on small partitions of it.
+"""
+
+from __future__ import annotations
+
+_TUNED = False
+
+
+def tune_context(force: bool = False) -> None:
+    """Idempotent; safe to call from every pipeline builder."""
+    global _TUNED
+    if _TUNED and not force:
+        return
+    import ray
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ncpu = 8
+    if ray.is_initialized():
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001
+            pass
+    ctx.read_op_min_num_blocks = max(2 * ncpu, 8)
+    _TUNED = True

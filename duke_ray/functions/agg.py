@@ -64,6 +64,21 @@ AGG_REGISTRY: dict[str, AggFunc] = {
     "max+mean": parent_children_funcs(max_of_rows, mean_of_rows),
 }
 
+_PREPS = {"null": null_prep, "exp": exponential, "step": step, "quadratic": quadratic}
+
+
+def build_combo_funcs(prep: str = "null") -> dict[str, AggFunc]:
+    """The reference's combinator grid (Duke/agg_functions.py:26-28):
+    {mean, max} plus both parent+children permutations, under a prep."""
+    p = _PREPS[prep]
+    out: dict[str, AggFunc] = {"mean": mean_of_rows, "max": max_of_rows}
+    for a, fa in [("mean", mean_of_rows), ("max", max_of_rows)]:
+        for b, fb in [("mean", mean_of_rows), ("max", max_of_rows)]:
+            if a != b:
+                name = f"{a}+{b}" if prep == "null" else f"{prep}:{a}+{b}"
+                out[name] = parent_children_funcs(fa, fb, prep=p)
+    return out
+
 
 def resolve_agg(spec: str | AggFunc) -> AggFunc:
     if callable(spec):

@@ -111,6 +111,9 @@ def run_kg_pipeline(
 ) -> dict:
     """End-to-end KG build; returns the metrics dict (also written to
     ``out_dir/metrics.json``)."""
+    from ..context import tune_context
+
+    tune_context()
     assets = assets or default_assets()
     fingerprint = f"{sf_dir}|replicas={replicas}|v={__version__}"
 

@@ -133,6 +133,9 @@ def summarize_dataset(
     ``random_sample`` fraction instead of the reference's unseeded
     shuffle+truncate (/root/reference/Duke/dataset.py:83-86).
     """
+    from ..context import tune_context
+
+    tune_context()
     assets = assets or default_assets()
     all_headers = list(ds.schema().names)  # pre-filter names feed 'headers'
     cols = text_columns(ds, columns)

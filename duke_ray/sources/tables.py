@@ -25,7 +25,25 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """Column-pruned Parquet read (prune at the read — SURVEY.md §1.2)."""
+    from ..context import tune_context
+
+    tune_context()
     return ray.data.read_parquet(table_path(sf_dir, name), columns=columns)
+
+
+def read_tabular(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Path-based tabular ingest: Parquet or CSV-with-header (the reference's
+    primary input, /root/reference/Duke/dataset.py:37). Column pruning is
+    applied at the read for Parquet and post-read for CSV."""
+    from ..context import tune_context
+
+    tune_context()
+    if path.endswith(".csv"):
+        ds = ray.data.read_csv(path)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
+    return ray.data.read_parquet(path, columns=columns)
 
 
 def documents_row_count(sf_dir: str) -> int:

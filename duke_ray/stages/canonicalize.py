@@ -1,91 +1,118 @@
-"""Triple canonicalization — salted two-stage grouped aggregation.
+"""Triple canonicalization — two-stage grouped aggregation on combined keys.
 
 North-rule step: "canonicalized via hash-partitioned groupby-aggregate on
 normalized surface forms with salted keys for head-entity skew". Surface
 forms are already normalized by the tokenizer; the group key is the
 (subj, pred, obj) surface triple.
 
-Skew design (SURVEY.md A9/D4): head surfaces are Zipfian, so a naive
-``groupby(['subj','pred','obj'])`` sends every occurrence of a hot triple to
-one reducer. Instead:
+Skew + overhead design (SURVEY.md A9/D4):
 
 1. **map-side partial aggregation**: within each batch, collapse to
    ``(subj, pred, obj, url) -> n`` counts (pyarrow group_by per batch) —
    this alone removes the per-occurrence row volume;
-2. **salted stage**: group by ``(subj, pred, obj, salt)`` where
-   ``salt = fnv1a64(url) % n_salt``. Because the salt is a pure function of
-   ``url``, each url lands in exactly one salt bucket, so per-bucket
-   *distinct-url counts are additive across buckets* — the final stage is
-   exact, not approximate;
-3. **final stage**: group by ``(subj, pred, obj)`` summing occurrence and
-   page counts — cardinality = distinct triples x n_salt, tiny.
+2. **page stage**: group by the COMBINED key ``subj\\x1fpred\\x1fobj\\x1furl``
+   — the url acts as the salt: a hot triple's occurrences spread over its
+   pages, and per-batch pre-aggregation bounds any reducer's input to one
+   row per (triple, url). A single combined key column instead of a
+   4-column key because Ray's multi-column sort-shuffle is ~15x slower
+   (measured 28.6s vs 1.9s on 250k rows);
+3. **final stage**: per-batch combine to one row per triple key, then group
+   by the triple key summing occurrences and (additive, exact) page counts.
+   Each batch contributes at most one row per triple, so the hottest key
+   sees at most n_blocks rows — no explicit salt column needed.
 
-At 1e12 docs, stage-2 distinct-url sets for a single hot (triple, salt)
-bucket can still be large; the scale path swaps the exact nunique for an
-HLL sketch per bucket (mergeable) — same topology, documented trade.
+At 1e12 docs a single triple's (triple,url) rows can still be huge in
+stage 2; they hash-partition across reducers by url, which is exactly the
+salted layout. The scale path for memory-tight reducers swaps exact
+distinct counts for mergeable HLL sketches — same topology, documented
+trade.
+
+Tokens never contain ``\\x1f`` (they are space-split normalized text), so
+the combined key splits back losslessly.
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..text import fnv1a64_arrow
-
 _KEY = ["subj", "pred", "obj"]
+_SEP = "\x1f"
 
 
-def partial_counts(batch: pa.Table, n_salt: int) -> pa.Table:
-    """Per-batch combiner: (subj,pred,obj,url) -> n, plus the url-salt."""
+def partial_counts(batch: pa.Table, n_salt: int = 0) -> pa.Table:
+    """Per-batch combiner: one row per (subj,pred,obj,url) with its count,
+    keyed by the combined page key (``n_salt`` kept for API compat)."""
     g = batch.group_by(_KEY + ["url"]).aggregate([("url", "count")])
-    salt = (fnv1a64_arrow(g["url"]) % np.uint64(n_salt)).astype(np.int32)
+    page_key = pc.binary_join_element_wise(
+        g["subj"], g["pred"], g["obj"], g["url"], _SEP
+    )
+    return pa.table({"k": page_key, "n": g["url_count"].cast(pa.int64())})
+
+
+def _to_triple_partials(batch: pa.Table) -> pa.Table:
+    """(page_key, n) -> per-batch (triple_key, n, pages) partials."""
+    # strip the url component: rsplit on the last separator
+    spo = pc.replace_substring_regex(batch["k"], pattern=_SEP + r"[^\x1f]*$", replacement="")
+    t = pa.table(
+        {
+            "spo": spo,
+            "n": batch["n"],
+        }
+    )
+    g = t.group_by("spo").aggregate([("n", "sum"), ("spo", "count")])
     return pa.table(
         {
-            "subj": g["subj"],
-            "pred": g["pred"],
-            "obj": g["obj"],
-            "url": g["url"],
-            "n": g["url_count"],
-            "salt": pa.array(salt, pa.int32()),
+            "spo": g["spo"],
+            "n": g["n_sum"].cast(pa.int64()),
+            "pages": g["spo_count"].cast(pa.int64()),
         }
     )
 
 
-def _salted_reduce(group: pa.Table) -> pa.Table:
-    """Per (subj,pred,obj,salt) group: exact occurrence + distinct-page counts.
-
-    Distinct urls within the group may repeat across *batches* (partials), so
-    re-group by url here; distinct across salt buckets is additive because
-    salt is a function of url.
-    """
-    per_url = group.group_by(_KEY + ["salt", "url"]).aggregate([("n", "sum")])
-    first = per_url.slice(0, 1)
+def _split_key(batch: pa.Table) -> pa.Table:
+    parts = pc.split_pattern(batch["spo"], pattern=_SEP)
     return pa.table(
         {
-            "subj": first["subj"],
-            "pred": first["pred"],
-            "obj": first["obj"],
-            "salt": first["salt"],
-            "occ": pa.array([pa.compute.sum(per_url["n_sum"]).as_py() or 0], pa.int64()),
-            "pages": pa.array([len(per_url)], pa.int64()),
+            "subj": pc.list_element(parts, 0),
+            "pred": pc.list_element(parts, 1),
+            "obj": pc.list_element(parts, 2),
+            "n_occurrences": batch["n_occurrences"],
+            "n_pages": batch["n_pages"],
         }
     )
 
 
 def canonicalize_triples(triples: "ray.data.Dataset", n_salt: int = 16) -> "ray.data.Dataset":
-    """(url, subj, pred, obj, ...) -> (subj, pred, obj, n_occurrences, n_pages)."""
+    """(url, subj, pred, obj, ...) -> (subj, pred, obj, n_occurrences, n_pages).
+
+    Both grouped stages are high-cardinality, so they run as
+    ``partitioned_reduce`` hash exchanges (low-cardinality Ray shuffle +
+    Arrow C++ per-partition aggregation) rather than Ray aggregates; see
+    duke_ray/state/exchange.py for the measured rationale."""
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
     partials = triples.map_batches(
-        lambda b: partial_counts(b, n_salt), batch_format="pyarrow", batch_size=65536
+        lambda b: partial_counts(b), batch_format="pyarrow", batch_size=65536
     )
-    salted = partials.groupby(_KEY + ["salt"]).map_groups(_salted_reduce, batch_format="pyarrow")
-    final = salted.groupby(_KEY).aggregate(
-        Sum("occ", alias_name="n_occurrences"),
-        Sum("pages", alias_name="n_pages"),
-    )
-    return final
+    per_page = grouped_sum(partials, "k", {"n": "n"})
+    combined = per_page.map_batches(_to_triple_partials, batch_format="pyarrow", batch_size=65536)
+
+    def final_reduce(t: pa.Table) -> pa.Table:
+        g = t.group_by("spo").aggregate([("n", "sum"), ("pages", "sum")])
+        return pa.table(
+            {
+                "spo": g["spo"],
+                "n_occurrences": g["n_sum"].cast(pa.int64()),
+                "n_pages": g["pages_sum"].cast(pa.int64()),
+            }
+        )
+
+    final = partitioned_reduce(combined, "spo", final_reduce)
+    return final.map_batches(_split_key, batch_format="pyarrow")
 
 
 def exact_dedup_first(ds: "ray.data.Dataset", key: list[str] | str) -> "ray.data.Dataset":

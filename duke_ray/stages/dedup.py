@@ -93,19 +93,28 @@ def _minhash_params(n_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]
 
 
 def minhash_signatures(text_col, n_perm: int = 64, k: int = 3, seed: int = 7) -> np.ndarray:
-    """(n_rows, n_perm) uint64 MinHash signatures, fully vectorized."""
+    """(n_rows, n_perm) uint64 MinHash signatures.
+
+    Fully vectorized: permuted hash values are computed for ALL shingles of
+    the batch at once (chunked over permutations to bound memory) and
+    reduced per document with ``np.minimum.reduceat`` — no Python loop over
+    rows or shingles."""
     hashes, offs = _shingle_hashes(text_col, k=k)
     a, b = _minhash_params(n_perm, seed)
     n_rows = len(offs) - 1
     sig = np.full((n_rows, n_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n_rows == 0 or len(hashes) == 0:
+        return sig
+    lengths = offs[1:] - offs[:-1]
+    nonempty = lengths > 0
+    starts = offs[:-1]
+    perm_chunk = max(1, min(n_perm, (32 << 20) // (8 * max(1, len(hashes)))))
     with np.errstate(over="ignore"):
-        # (n_shingles, n_perm) would blow memory on huge batches; chunk rows
-        for r in range(n_rows):
-            seg = hashes[offs[r] : offs[r + 1]]
-            if seg.size == 0:
-                continue
-            hv = (seg[:, None] * a[None, :] + b[None, :]) % _MERSENNE
-            sig[r] = hv.min(axis=0)
+        for c0 in range(0, n_perm, perm_chunk):
+            c1 = min(n_perm, c0 + perm_chunk)
+            hv = (hashes[:, None] * a[None, c0:c1] + b[None, c0:c1]) % _MERSENNE
+            red = np.minimum.reduceat(hv, starts.clip(max=len(hashes) - 1), axis=0)
+            sig[nonempty, c0:c1] = red[nonempty]
     return sig
 
 
@@ -143,39 +152,79 @@ class MinHashStage:
             pa.array(np.tile(sig, (self.bands, 1)).ravel().astype(np.uint64), pa.uint64()),
             self.n_perm,
         ) if n else pa.FixedSizeListArray.from_arrays(pa.array([], pa.uint64()), self.n_perm)
+        bh_i64 = band_hash.astype(np.int64).view(np.uint64).astype(np.int64)
         return pa.table(
             {
+                "meta": pa.array(_meta_key(band_id, bh_i64), pa.int32()),
                 "band": pa.array(band_id, pa.int32()),
-                "band_hash": pa.array(band_hash.astype(np.int64).view(np.uint64).astype(np.int64), pa.int64()),
+                "band_hash": pa.array(bh_i64, pa.int64()),
                 "doc_id": pa.array(doc, pa.int64()),
                 "sig": sig_list,
             }
         )
 
 
-def _bucket_pairs(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """Within one LSH bucket: all-pairs signature agreement >= threshold."""
-    docs = group["doc_id"].to_numpy()
-    if len(docs) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
-            {"doc_a": np.int64, "doc_b": np.int64, "est_jaccard": np.float64}
+N_META_GROUPS = 256  # coarse co-location groups: per-call overhead amortizes
+# over many LSH buckets, pairing inside is vectorized run detection
+
+
+def _meta_key(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        mixed = (band_hash.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) ^ (
+            band.astype(np.uint64) * np.uint64(0x100000001B3)
         )
-    order = np.argsort(docs, kind="stable")
-    docs = docs[order]
-    sigs = np.stack(group["sig"].to_numpy()[order])
-    # dedup docs (same doc may appear via multiple partials)
-    uniq, first_idx = np.unique(docs, return_index=True)
-    sigs = sigs[first_idx]
-    n = len(uniq)
+    return (mixed % np.uint64(N_META_GROUPS)).astype(np.int32)
+
+
+def _runs(sort_keys: list[np.ndarray], boundary_keys: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+    """Lexsort rows by composite key -> (order, run boundary starts); a run
+    boundary is a change in the first ``boundary_keys`` keys (default all)."""
+    order = np.lexsort(tuple(reversed(sort_keys)))
+    changed = np.zeros(len(order), dtype=bool)
+    changed[0] = True
+    for k in sort_keys[: boundary_keys if boundary_keys is not None else len(sort_keys)]:
+        ks = k[order]
+        changed[1:] |= ks[1:] != ks[:-1]
+    return order, np.flatnonzero(changed)
+
+
+def _bucket_pairs_meta(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
+    """One meta-group = many LSH buckets: detect same-(band,band_hash) runs
+    vectorized; all-pairs signature agreement only inside multi-doc runs."""
+    n = len(group)
+    empty = pd.DataFrame(
+        {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64),
+         "est_jaccard": np.array([], np.float64)}
+    )
     if n < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []}).astype(
-            {"doc_a": np.int64, "doc_b": np.int64, "est_jaccard": np.float64}
-        )
-    ia, ib = np.triu_indices(n, k=1)
-    est = (sigs[ia] == sigs[ib]).mean(axis=1)
-    keep = est >= threshold
+        return empty
+    band = group["band"].to_numpy()
+    bh = group["band_hash"].to_numpy()
+    docs = group["doc_id"].to_numpy()
+    order, starts = _runs([band, bh, docs], boundary_keys=2)
+    sigs = np.stack(group["sig"].to_numpy())
+    out_a, out_b, out_e = [], [], []
+    bounds = np.append(starts, n)
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        idx = order[s:e]
+        d = docs[idx]
+        uniq, first = np.unique(d, return_index=True)
+        if len(uniq) < 2:
+            continue
+        sg = sigs[idx[first]]
+        ia, ib = np.triu_indices(len(uniq), k=1)
+        est = (sg[ia] == sg[ib]).mean(axis=1)
+        keep = est >= threshold
+        out_a.append(uniq[ia[keep]])
+        out_b.append(uniq[ib[keep]])
+        out_e.append(est[keep])
+    if not out_a:
+        return empty
     return pd.DataFrame(
-        {"doc_a": uniq[ia[keep]], "doc_b": uniq[ib[keep]], "est_jaccard": est[keep]}
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+         "est_jaccard": np.concatenate(out_e)}
     )
 
 
@@ -198,12 +247,28 @@ def minhash_near_dup_pairs(
         batch_format="pyarrow",
         batch_size=4096,
     )
-    pairs = buckets.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, threshold), batch_format="pandas"
+    pairs = buckets.groupby("meta").map_groups(
+        lambda g: _bucket_pairs_meta(g, threshold), batch_format="pandas"
     )
-    from ray.data.aggregate import Max
+    return _dedupe_pairs(pairs, "est_jaccard", "max")
 
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+def _dedupe_pairs(pairs: "ray.data.Dataset", val_col: str, how: str) -> "ray.data.Dataset":
+    """Pair tables can be high-cardinality (one key per near-dup pair) ->
+    partitioned_reduce with an Arrow per-partition group_by."""
+    from ..state.exchange import partitioned_reduce
+
+    def reduce_partition(t: pa.Table) -> pa.Table:
+        g = t.group_by(["doc_a", "doc_b"]).aggregate([(val_col, how)])
+        return pa.table(
+            {
+                "doc_a": g["doc_a"],
+                "doc_b": g["doc_b"],
+                val_col: g[f"{val_col}_{how}"],
+            }
+        )
+
+    return partitioned_reduce(pairs, ["doc_a", "doc_b"], reduce_partition)
 
 
 # --- exact dedup -----------------------------------------------------------
@@ -224,28 +289,45 @@ def exact_dedup(
         g = t.group_by("h").aggregate([("doc_id", "min")])
         return pa.table({"h": g["h"], "doc_id": g["doc_id_min"]})
 
+    from ..state.exchange import partitioned_reduce
+
+    def min_per_hash(t: pa.Table) -> pa.Table:
+        g = t.group_by("h").aggregate([("doc_id", "min")])
+        return pa.table({"doc_id": g["doc_id_min"].cast(pa.int64())})
+
     partials = docs.map_batches(hash_ids, batch_format="pyarrow", batch_size=16384)
-    survivors = partials.groupby("h").aggregate(Min("doc_id", alias_name="doc_id"))
-    return survivors.select_columns(["doc_id"])
+    # high-cardinality key (one per distinct text) -> partitioned_reduce
+    return partitioned_reduce(partials, "h", min_per_hash)
 
 
 # --- SimHash ---------------------------------------------------------------
 
 def simhash_signatures(text_col, seed: int = 11) -> np.ndarray:
-    """64-bit SimHash over token hashes (unweighted), vectorized per batch."""
+    """64-bit SimHash over token hashes (unweighted).
+
+    Vectorized: per-row bit sums via ``np.add.reduceat`` over the row-major
+    flattened token hashes (16-bit chunks bound peak memory); sig bit b is
+    set iff more than half the row's token hashes have bit b set."""
     flat = FlatTokens.from_text(text_col)
     th = fnv1a64_arrow(flat.tokens)
     n_rows = flat.n_rows
-    acc = np.zeros((n_rows, 64), dtype=np.int64)
-    if len(th):
-        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        contrib = bits * 2 - 1
-        np.add.at(acc, flat.row, contrib)
-    sig = (acc > 0).astype(np.uint64)
+    lengths = flat.row_lengths()
     out = np.zeros(n_rows, dtype=np.uint64)
+    if len(th) == 0 or n_rows == 0:
+        return out
+    starts = np.zeros(n_rows, dtype=np.int64)
+    np.cumsum(lengths[:-1], out=starts[1:])
+    nonempty = lengths > 0
+    red_starts = starts.clip(max=len(th) - 1)
+    half = lengths[:, None]  # threshold: 2*sum > n
     with np.errstate(over="ignore"):
-        for b in range(64):
-            out |= sig[:, b] << np.uint64(b)
+        for c0 in range(0, 64, 16):
+            shifts = np.arange(c0, c0 + 16, dtype=np.uint64)
+            bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32)
+            sums = np.add.reduceat(bits, red_starts, axis=0)
+            pos = (2 * sums > half) & nonempty[:, None]
+            for j in range(16):
+                out |= pos[:, j].astype(np.uint64) << np.uint64(c0 + j)
     return out
 
 
@@ -268,36 +350,66 @@ class SimHashStage:
             vals.append(((sig >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64))
             docs.append(ids)
             sigs.append(sig)
+        chunk_arr = np.concatenate(chunks)
+        val_arr = np.concatenate(vals)
         return pa.table(
             {
-                "chunk": pa.array(np.concatenate(chunks), pa.int32()),
-                "chunk_val": pa.array(np.concatenate(vals), pa.int64()),
+                "meta": pa.array(_meta_key(chunk_arr, val_arr), pa.int32()),
+                "chunk": pa.array(chunk_arr, pa.int32()),
+                "chunk_val": pa.array(val_arr, pa.int64()),
                 "doc_id": pa.array(np.concatenate(docs), pa.int64()),
                 "sig": pa.array(np.concatenate(sigs).astype(np.int64), pa.int64()),
             }
         )
 
 
-def _simhash_bucket_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
-    docs = group["doc_id"].to_numpy()
-    sigs = group["sig"].to_numpy().astype(np.int64).view(np.uint64)
-    uniq, first = np.unique(docs, return_index=True)
-    sigs = sigs[first]
-    n = len(uniq)
-    if n < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-            {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
-        )
-    ia, ib = np.triu_indices(n, k=1)
-    x = sigs[ia] ^ sigs[ib]
+def _popcount64(x: np.ndarray) -> np.ndarray:
     ham = np.zeros(len(x), dtype=np.int64)
+    x = x.copy()
     for _ in range(64):  # popcount via shift loop over uint64 (vectorized)
         ham += (x & np.uint64(1)).astype(np.int64)
         x >>= np.uint64(1)
         if not x.any():
             break
-    keep = ham <= max_hamming
-    return pd.DataFrame({"doc_a": uniq[ia[keep]], "doc_b": uniq[ib[keep]], "hamming": ham[keep]})
+    return ham
+
+
+def _simhash_meta_pairs(group: pd.DataFrame, max_hamming: int) -> pd.DataFrame:
+    """One meta-group = many (chunk, chunk_val) buckets; vectorized runs."""
+    empty = pd.DataFrame(
+        {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64),
+         "hamming": np.array([], np.int64)}
+    )
+    n = len(group)
+    if n < 2:
+        return empty
+    chunk = group["chunk"].to_numpy()
+    val = group["chunk_val"].to_numpy()
+    docs = group["doc_id"].to_numpy()
+    sigs = group["sig"].to_numpy().astype(np.int64).view(np.uint64)
+    order, starts = _runs([chunk, val, docs], boundary_keys=2)
+    bounds = np.append(starts, n)
+    out_a, out_b, out_h = [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        idx = order[s:e]
+        uniq, first = np.unique(docs[idx], return_index=True)
+        if len(uniq) < 2:
+            continue
+        sg = sigs[idx[first]]
+        ia, ib = np.triu_indices(len(uniq), k=1)
+        ham = _popcount64(sg[ia] ^ sg[ib])
+        keep = ham <= max_hamming
+        out_a.append(uniq[ia[keep]])
+        out_b.append(uniq[ib[keep]])
+        out_h.append(ham[keep])
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
+         "hamming": np.concatenate(out_h)}
+    )
 
 
 def simhash_near_dup_pairs(
@@ -306,12 +418,10 @@ def simhash_near_dup_pairs(
     buckets = docs.map_batches(
         SimHashStage(id_col=id_col, text_col=text_col), batch_format="pyarrow", batch_size=4096
     )
-    pairs = buckets.groupby(["chunk", "chunk_val"]).map_groups(
-        lambda g: _simhash_bucket_pairs(g, max_hamming), batch_format="pandas"
+    pairs = buckets.groupby("meta").map_groups(
+        lambda g: _simhash_meta_pairs(g, max_hamming), batch_format="pandas"
     )
-    from ray.data.aggregate import Min as AggMin
-
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(AggMin("hamming", alias_name="hamming"))
+    return _dedupe_pairs(pairs, "hamming", "min")
 
 
 # --- exact n-gram Jaccard (LSH-candidates, exact verify) -------------------
@@ -345,6 +455,7 @@ def ngram_jaccard_pairs(
             )
             return pa.table(
                 {
+                    "meta": lsh["meta"],
                     "band": lsh["band"],
                     "band_hash": lsh["band_hash"],
                     "doc_id": lsh["doc_id"],
@@ -353,29 +464,49 @@ def ngram_jaccard_pairs(
             )
 
     def bucket_exact(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64),
+             "jaccard": np.array([], np.float64)}
+        )
+        n = len(group)
+        if n < 2:
+            return empty
+        band = group["band"].to_numpy()
+        bh = group["band_hash"].to_numpy()
         docs_ = group["doc_id"].to_numpy()
-        uniq, first = np.unique(docs_, return_index=True)
-        sets = group["shingles"].to_numpy()[first]
-        n = len(uniq)
+        sets_col = group["shingles"].to_numpy()
+        order, starts = _runs([band, bh, docs_], boundary_keys=2)
+        bounds = np.append(starts, n)
         rows_a, rows_b, js = [], [], []
-        for i in range(n):
-            si = set(int(v) for v in sets[i])
-            for j in range(i + 1, n):
-                sj = set(int(v) for v in sets[j])
-                inter = len(si & sj)
-                union = len(si | sj)
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    rows_a.append(uniq[i])
-                    rows_b.append(uniq[j])
-                    js.append(jac)
+        seen_pairs: set[tuple[int, int]] = set()
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            uniq, first = np.unique(docs_[idx], return_index=True)
+            if len(uniq) < 2:
+                continue
+            sets = [set(int(v) for v in sets_col[i]) for i in idx[first]]
+            for i in range(len(uniq)):
+                for j in range(i + 1, len(uniq)):
+                    key = (int(uniq[i]), int(uniq[j]))
+                    if key in seen_pairs:
+                        continue
+                    seen_pairs.add(key)
+                    inter = len(sets[i] & sets[j])
+                    union = len(sets[i] | sets[j])
+                    jac = inter / union if union else 1.0
+                    if jac >= threshold:
+                        rows_a.append(uniq[i])
+                        rows_b.append(uniq[j])
+                        js.append(jac)
+        if not rows_a:
+            return empty
         return pd.DataFrame({"doc_a": np.array(rows_a, np.int64), "doc_b": np.array(rows_b, np.int64), "jaccard": np.array(js, np.float64)})
 
     buckets = docs.map_batches(ShingleStage, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4))
-    pairs = buckets.groupby(["band", "band_hash"]).map_groups(bucket_exact, batch_format="pandas")
-    from ray.data.aggregate import Max as AggMax
-
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(AggMax("jaccard", alias_name="jaccard"))
+    pairs = buckets.groupby("meta").map_groups(bucket_exact, batch_format="pandas")
+    return _dedupe_pairs(pairs, "jaccard", "max")
 
 
 # --- clustering ------------------------------------------------------------

@@ -107,8 +107,11 @@ class HyperplaneLSH:
         bucket = np.zeros(len(mat), dtype=np.int64)
         for j in range(signs.shape[1]):
             bucket |= signs[:, j].astype(np.int64) << j
+        with np.errstate(over="ignore"):
+            meta = ((bucket.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(256)).astype(np.int32)
         return pa.table(
             {
+                "meta": pa.array(meta, pa.int32()),
                 "bucket": pa.array(bucket, pa.int64()),
                 "vec_id": batch[self.id_col].cast(pa.int64()),
                 "vec": pa.array([r.tolist() for r in mat], pa.list_(pa.float64())),
@@ -128,19 +131,41 @@ def lsh_cosine_pairs(
     table; recall can be raised with multiple tables (union of outputs)."""
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = group["vec_id"].to_numpy()
-        uniq, first = np.unique(ids, return_index=True)
-        mats = np.stack(group["vec"].to_numpy()[first]) if len(uniq) else np.empty((0, dim))
-        n = len(uniq)
+        """One meta-group = many sign buckets; pair only within a bucket run."""
+        empty = pd.DataFrame(
+            {"vec_a": np.array([], np.int64), "vec_b": np.array([], np.int64),
+             "cosine": np.array([], np.float64)}
+        )
+        n = len(group)
         if n < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
-                {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64}
-            )
-        sims = mats @ mats.T
-        ia, ib = np.triu_indices(n, k=1)
-        keep = sims[ia, ib] >= threshold
+            return empty
+        bucket = group["bucket"].to_numpy()
+        ids = group["vec_id"].to_numpy()
+        order = np.lexsort((ids, bucket))
+        b_sorted = bucket[order]
+        starts = np.flatnonzero(np.concatenate([[True], b_sorted[1:] != b_sorted[:-1]]))
+        bounds = np.append(starts, n)
+        vecs = group["vec"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            idx = order[s:e]
+            uniq, first = np.unique(ids[idx], return_index=True)
+            if len(uniq) < 2:
+                continue
+            mats = np.stack(vecs[idx[first]])
+            sims = mats @ mats.T
+            ia, ib = np.triu_indices(len(uniq), k=1)
+            keep = sims[ia, ib] >= threshold
+            out_a.append(uniq[ia[keep]])
+            out_b.append(uniq[ib[keep]])
+            out_c.append(sims[ia[keep], ib[keep]])
+        if not out_a:
+            return empty
         return pd.DataFrame(
-            {"vec_a": uniq[ia[keep]], "vec_b": uniq[ib[keep]], "cosine": sims[ia[keep], ib[keep]]}
+            {"vec_a": np.concatenate(out_a), "vec_b": np.concatenate(out_b),
+             "cosine": np.concatenate(out_c)}
         )
 
     buckets = vectors.map_batches(
@@ -148,7 +173,13 @@ def lsh_cosine_pairs(
         batch_format="pyarrow",
         batch_size=4096,
     )
-    pairs = buckets.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    from ray.data.aggregate import Max
+    pairs = buckets.groupby("meta").map_groups(bucket_pairs, batch_format="pandas")
+    from ..state.exchange import partitioned_reduce
 
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("cosine", alias_name="cosine"))
+    def reduce_partition(t: pa.Table) -> pa.Table:
+        g = t.group_by(["vec_a", "vec_b"]).aggregate([("cosine", "max")])
+        return pa.table(
+            {"vec_a": g["vec_a"], "vec_b": g["vec_b"], "cosine": g["cosine_max"]}
+        )
+
+    return partitioned_reduce(pairs, ["vec_a", "vec_b"], reduce_partition)

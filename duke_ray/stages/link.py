@@ -24,9 +24,10 @@ from ..text import normalize_text
 
 
 class LinkActor:
-    def __init__(self, assets: SideAssets | None = None, k: int = 3):
+    def __init__(self, assets: SideAssets | None = None, k: int = 3, emit_topk: bool = False):
         self.assets = assets or default_assets()
         self.k = min(k, self.assets.entity_matrix.shape[0])
+        self.emit_topk = emit_topk  # per-row list column costs a Python loop
         self._memo: dict[str, tuple | None] = {}
 
     def _link_surface(self, surface: str):
@@ -57,29 +58,41 @@ class LinkActor:
         return res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        surfaces = batch["surface"].to_pylist()
-        linked = [self._link_surface(s) for s in surfaces]
+        # dictionary-encode: link each UNIQUE surface once, then gather —
+        # mention surfaces are Zipfian, uniques << rows
+        surf = batch["surface"]
+        if isinstance(surf, pa.ChunkedArray):
+            surf = surf.combine_chunks()
+        dic = surf.dictionary_encode()
+        uniq = dic.dictionary.to_pylist()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        linked = [self._link_surface(s) for s in uniq]
+
+        u_eid = np.array([r[0] if r else -1 for r in linked], dtype=np.int64)
+        u_score = np.array([r[1] if r else np.nan for r in linked], dtype=np.float32)
+        u_tscore = np.array([r[3] if r else np.nan for r in linked], dtype=np.float32)
+        u_class = [r[2] if r else None for r in linked]
+        u_topk = [r[4] if r else None for r in linked]
+
+        eid = u_eid[codes]
+        valid = eid >= 0
         return pa.table(
             {
                 "url": batch["url"],
                 "pos": batch["pos"],
                 "surface": batch["surface"],
-                "entity_id": pa.array(
-                    [r[0] if r else None for r in linked], pa.int64()
-                ),
-                "link_score": pa.array(
-                    [r[1] if r else None for r in linked], pa.float32()
-                ),
-                "entity_class": pa.array(
-                    [r[2] if r else None for r in linked], pa.string()
-                ),
-                "type_score": pa.array(
-                    [r[3] if r else None for r in linked], pa.float32()
-                ),
-                "topk_ids": pa.array(
-                    [r[4] if r else None for r in linked], pa.list_(pa.int64())
-                ),
+                "entity_id": pa.array(eid, pa.int64(), mask=~valid),
+                "link_score": pa.array(u_score[codes], pa.float32(), mask=~valid),
+                "entity_class": pa.DictionaryArray.from_arrays(
+                    pa.array(codes, pa.int32()), pa.array(u_class, pa.string())
+                ).cast(pa.string()),
+                "type_score": pa.array(u_tscore[codes], pa.float32(), mask=~valid),
             }
+            | (
+                {"topk_ids": pa.array([u_topk[c] for c in codes], pa.list_(pa.int64()))}
+                if self.emit_topk
+                else {}
+            )
         )
 
 
@@ -89,10 +102,11 @@ def link_mentions(
     k: int = 3,
     batch_size: int = 65536,
     concurrency=(1, 8),
+    emit_topk: bool = False,
 ) -> "ray.data.Dataset":
     return mentions.map_batches(
         LinkActor,
-        fn_constructor_kwargs={"assets": assets, "k": k},
+        fn_constructor_kwargs={"assets": assets, "k": k, "emit_topk": emit_topk},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -60,16 +60,17 @@ def token_stats(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str 
 def term_frequencies(docs: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
     """Global term counts: per-batch pyarrow group_by partials (cardinality
     = batch vocab, tiny under Zipf) -> grouped sum over partials."""
-    from ray.data.aggregate import Sum
-
     def partial(batch: pa.Table) -> pa.Table:
         flat = FlatTokens.from_text(batch[text_col])
         t = pa.table({"token": flat.tokens})
         g = t.group_by("token").aggregate([("token", "count")])
         return g.rename_columns(["token", "n"])
 
+    from ..state.exchange import grouped_sum
+
     partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=8192)
-    return partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    # token cardinality is corpus-vocab-sized (1e7+ at web scale)
+    return grouped_sum(partials, "token", {"n": "n"})
 
 
 # --- language ID -----------------------------------------------------------

@@ -1,0 +1,79 @@
+"""Hash-partitioned reduce — the engine's high-cardinality aggregation
+primitive.
+
+Ray Data's built-in ``groupby(key).aggregate(...)`` pays ~60us of Python
+per distinct key (measured: 250k-key Sum = 14-18s regardless of key type,
+while a 15-key groupby over the same rows = 2-3s). That makes it fine for
+low-cardinality finals and unusable for per-document / per-page keys.
+
+``partitioned_reduce`` keeps the shuffle low-cardinality: rows are hashed
+into ``n_meta`` co-location partitions (every row of a key lands in the
+same partition), Ray shuffles by the tiny ``meta`` key, and the real
+per-key aggregation runs ONCE per partition as a vectorized
+``pyarrow.Table.group_by`` (C++). Exactness is preserved; Python cost is
+O(n_meta), not O(n_keys).
+
+At cluster scale ``n_meta`` should be a small multiple of total cores —
+partitions stay balanced by hashing, hot single keys are bounded by the
+upstream per-batch combine (map-side partials) that every caller applies
+first.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from ..text import fnv1a64_arrow
+
+
+def _meta_of(batch: pa.Table, key_cols: list[str], n_meta: int) -> np.ndarray:
+    key = batch[key_cols[0]].cast(pa.string())
+    for c in key_cols[1:]:
+        key = pa.compute.binary_join_element_wise(key, batch[c].cast(pa.string()), "\x1f")
+    return (fnv1a64_arrow(key) % np.uint64(n_meta)).astype(np.int32)
+
+
+def partitioned_reduce(
+    ds: "ray.data.Dataset",
+    key_cols: list[str] | str,
+    reduce_partition: Callable[[pa.Table], pa.Table],
+    n_meta: int = 256,
+) -> "ray.data.Dataset":
+    """Apply ``reduce_partition`` (Arrow table in/out) once per hash
+    partition; all rows sharing ``key_cols`` values are guaranteed to be in
+    the same partition."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def add_meta(batch: pa.Table) -> pa.Table:
+        return batch.append_column("meta", pa.array(_meta_of(batch, keys, n_meta), pa.int32()))
+
+    with_meta = ds.map_batches(add_meta, batch_format="pyarrow")
+    return with_meta.groupby("meta").map_groups(
+        lambda g: reduce_partition(g.drop_columns(["meta"])), batch_format="pyarrow"
+    )
+
+
+def grouped_sum(
+    ds: "ray.data.Dataset",
+    key_cols: list[str] | str,
+    sum_cols: dict[str, str],
+    n_meta: int = 256,
+) -> "ray.data.Dataset":
+    """partitioned_reduce specialization: SUM named columns per key.
+
+    ``sum_cols`` maps input column -> output column name."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+
+    def reduce_partition(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate([(c, "sum") for c in sum_cols])
+        cols = {k: g[k] for k in keys}
+        for c, out in sum_cols.items():
+            cols[out] = g[f"{c}_sum"]
+        return pa.table(cols)
+
+    return partitioned_reduce(ds, keys, reduce_partition, n_meta)

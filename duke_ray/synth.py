@@ -146,6 +146,28 @@ def class_tree_dict() -> dict[str, dict[str, list[str]]]:
     return tree
 
 
+def write_class_tree_json(path: str, tree: dict | None = None) -> None:
+    """Persist a class tree in the reference's JSON shape
+    ({name: {parents: [...], children: [...]}},
+    /root/reference/Duke/class_tree.py:126-158's output format)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(tree if tree is not None else class_tree_dict(), f, indent=2)
+
+
+def load_class_tree_json(path: str) -> dict[str, dict[str, list[str]]]:
+    """Load a reference-shaped class-tree JSON (class_tree.py:49-52)."""
+    import json
+
+    with open(path) as f:
+        tree = json.load(f)
+    return {
+        name: {"parents": list(rels.get("parents", [])), "children": list(rels.get("children", []))}
+        for name, rels in tree.items()
+    }
+
+
 def class_tree_table() -> pa.Table:
     tree = class_tree_dict()
     names = sorted(tree)

@@ -1,0 +1,115 @@
+"""Evaluation harness, CSV ingest, asset injection, combinator grid, CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from duke_ray.assets import SideAssets, default_assets
+from duke_ray.functions.agg import build_combo_funcs
+from duke_ray.pipelines.evaluate import (
+    agg_config_grid,
+    evaluate_scores,
+    gen_label_stub,
+    labels_for_classes,
+    labels_to_positive_list,
+    run_labeled_trials,
+    write_positive_examples,
+    write_trial_csv,
+)
+from duke_ray.synth import class_tree_dict, write_class_tree_json
+
+
+@pytest.fixture(scope="module")
+def small_df():
+    return pd.DataFrame(
+        {
+            "PlayerName": ["fast query", "slow query", "big table", "hash join"],
+            "team_city": ["data stream", "key value", "batch window", "table scan"],
+        }
+    )
+
+
+def test_labels_and_metrics():
+    classes = ["a", "b", "c", "d"]
+    labels = labels_for_classes(classes, ["b", "d"])
+    np.testing.assert_array_equal(labels, [-1, 1, -1, 1])
+    m = evaluate_scores(np.array([0.1, 0.9, 0.2, 0.7]), labels)
+    assert m["avg_positive"] == pytest.approx(0.8)
+    assert m["avg_negative"] == pytest.approx(0.15)
+    assert m["score_gap"] == pytest.approx(0.65)
+    assert m["n_positive"] == 2 and m["n_negative"] == 2
+
+
+def test_label_stub_roundtrip(tmp_path):
+    stub = gen_label_stub(["query", "table", "stream"])
+    stub.loc[stub["class"] == "table", "label"] = "1"
+    stub.loc[stub["class"] == "stream", "label"] = "0"
+    pos = labels_to_positive_list(stub)
+    assert pos == ["table"]
+    path = tmp_path / "pos.json"
+    write_positive_examples(pos, str(path))
+    assert json.load(open(path)) == ["table"]
+
+
+def test_labeled_trials_grid(ray_session, small_df, tmp_path):
+    ds = ray.data.from_pandas(small_df)
+    trials = run_labeled_trials(ds, positives=["query", "fast query", "table scan"])
+    assert len(trials) == len(agg_config_grid()) == 8
+    # ranked by gap descending
+    gaps = trials["score_gap"].to_numpy()
+    assert (np.diff(gaps) <= 1e-12).all()
+    path = write_trial_csv(trials, str(tmp_path), "t1")
+    assert os.path.isfile(path)
+    again = run_labeled_trials(ds, positives=["query", "fast query", "table scan"])
+    pd.testing.assert_frame_equal(trials, again)  # deterministic
+
+
+def test_combo_funcs_grid():
+    combos = build_combo_funcs()
+    assert set(combos) == {"mean", "max", "mean+max", "max+mean"}
+    expc = build_combo_funcs("exp")
+    assert "exp:mean+max" in expc
+    # prep applies: exp of single element
+    out = expc["exp:mean+max"]([np.array([0.0])])
+    np.testing.assert_allclose(out, [1.0])
+
+
+def test_asset_injection_tree_json(tmp_path):
+    path = tmp_path / "tree.json"
+    write_class_tree_json(str(path))
+    a = SideAssets.build(tree=str(path))
+    b = default_assets()
+    assert a.classes == b.classes
+    np.testing.assert_allclose(a.class_matrix, b.class_matrix)
+
+
+def test_asset_injection_custom_tree(tmp_path):
+    tree = {
+        "data": {"parents": [], "children": ["big data"]},
+        "big data": {"parents": ["data"], "children": []},
+    }
+    a = SideAssets.build(tree=tree)
+    assert a.classes == ["big data", "data"]
+
+
+def test_csv_ingest_describe_cli(ray_session, small_df, tmp_path):
+    csv = tmp_path / "input.csv"
+    small_df.to_csv(csv, index=False)
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    out = subprocess.run(
+        [sys.executable, "-m", "duke_ray.cli", "--num-cpus", "4", "describe",
+         "--input", str(csv), "--top-n", "3"],
+        capture_output=True, text=True, env=env, timeout=240,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["description"].startswith("This dataset is about ")
+    assert len(res["top_words"]) == 3
+    assert set(res["sources"]) == {"headers", "player name", "team city"}
