@@ -32,3 +32,19 @@ def tune_context(force: bool = False) -> None:
             pass
     ctx.read_op_min_num_blocks = max(2 * ncpu, 8)
     _TUNED = True
+
+
+def default_pool() -> tuple[int, int]:
+    """Autoscaling actor-pool bounds sized to the cluster: min 1 (a small
+    session must never deadlock on CPU reservation), max = cluster CPUs (an
+    actor stage must be able to use the whole machine — a fixed cap of 8
+    silently flatlines scaling past 8 cores)."""
+    import ray
+
+    ncpu = 8
+    if ray.is_initialized():
+        try:
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001
+            pass
+    return (1, max(8, ncpu))

@@ -114,6 +114,7 @@ def run_kg_pipeline(
     from ..context import tune_context
 
     tune_context()
+    injected_assets = assets  # None -> stages use task-mode process-cached state
     assets = assets or default_assets()
     fingerprint = f"{sf_dir}|replicas={replicas}|v={__version__}"
 
@@ -133,7 +134,7 @@ def run_kg_pipeline(
         extracted = ray.data.read_parquet(ckpt)
 
     # node branch
-    linked = link_mentions(extract_mentions(extracted), assets=assets, k=link_k)
+    linked = link_mentions(extract_mentions(extracted), assets=injected_assets, k=link_k)
     nodes = build_nodes(linked, assets)
     nodes_res = write_partitioned_with_manifests(
         nodes, os.path.join(out_dir, "nodes"), key_cols=["entity_id"],

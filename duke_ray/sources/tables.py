@@ -51,20 +51,22 @@ def documents_row_count(sf_dir: str) -> int:
 
 
 def read_pages(sf_dir: str, replicas: int = 1) -> "ray.data.Dataset":
-    """documents -> Common-Crawl-style pages Dataset (lazy, distributed)."""
+    """documents -> Common-Crawl-style pages Dataset (lazy, distributed).
+
+    Replication happens INSIDE one map stage (each input batch emits its
+    ``replicas`` doc-id-offset copies) — a union of R branches would build
+    2R operators whose scheduling overhead dominates at small scale."""
+    import pyarrow as pa
+
     n_docs = documents_row_count(sf_dir)
+
+    def synth(batch: "pa.Table") -> "pa.Table":
+        parts = [
+            pages_batch_from_documents(batch, replica=r, n_docs_per_replica=n_docs)
+            for r in range(replicas)
+        ]
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
     base = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    parts = []
-    for r in range(replicas):
-        parts.append(
-            base.map_batches(
-                pages_batch_from_documents,
-                fn_kwargs={"replica": r, "n_docs_per_replica": n_docs},
-                batch_format="pyarrow",
-                batch_size=1024,
-            )
-        )
-    ds = parts[0]
-    if len(parts) > 1:
-        ds = ds.union(*parts[1:])
-    return ds
+    batch_size = max(64, 1024 // max(1, replicas))  # html payload bounds blocks
+    return base.map_batches(synth, batch_format="pyarrow", batch_size=batch_size)

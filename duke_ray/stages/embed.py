@@ -22,6 +22,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ..context import default_pool
 from ..assets import SideAssets, default_assets
 from ..text import normalize_text
 
@@ -107,7 +108,7 @@ def score_sources(
     long_ds: "ray.data.Dataset",
     assets: SideAssets | None = None,
     batch_size: int = 8192,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> "ray.data.Dataset":
     """(source, value) -> one combined partial row per source.
 
@@ -121,6 +122,6 @@ def score_sources(
         fn_constructor_kwargs={"assets": assets},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency if concurrency is not None else default_pool(),
     )
     return partials.groupby("source").map_groups(_combine_partials, batch_format="pandas")

@@ -19,6 +19,7 @@ import pyarrow as pa
 
 import ray.data
 
+from ..context import default_pool
 from ..assets import SideAssets, default_assets
 from ..text import normalize_text
 
@@ -96,18 +97,40 @@ class LinkActor:
         )
 
 
+# Process-local cache (see triples.py rationale): the default synthetic
+# entity index is tiny -> stateless tasks. Explicit ``assets`` (a real,
+# model-sized index) -> actor pool pinning it once per actor.
+_LINKER_CACHE: dict[tuple, LinkActor] = {}
+
+
+def _link_batch(batch: pa.Table, k: int, emit_topk: bool) -> pa.Table:
+    key = (k, emit_topk)
+    linker = _LINKER_CACHE.get(key)
+    if linker is None:
+        linker = _LINKER_CACHE[key] = LinkActor(k=k, emit_topk=emit_topk)
+    return linker(batch)
+
+
 def link_mentions(
     mentions: "ray.data.Dataset",
     assets: SideAssets | None = None,
     k: int = 3,
     batch_size: int = 65536,
-    concurrency=(1, 8),
+    concurrency=None,
     emit_topk: bool = False,
 ) -> "ray.data.Dataset":
+    if assets is not None:
+        return mentions.map_batches(
+            LinkActor,
+            fn_constructor_kwargs={"assets": assets, "k": k, "emit_topk": emit_topk},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency if concurrency is not None else default_pool(),
+        )
+    import functools
+
     return mentions.map_batches(
-        LinkActor,
-        fn_constructor_kwargs={"assets": assets, "k": k, "emit_topk": emit_topk},
+        functools.partial(_link_batch, k=k, emit_topk=emit_topk),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
     )

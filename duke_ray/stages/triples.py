@@ -29,6 +29,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..context import default_pool
 from ..assets import SideAssets
 from ..synth import TRIPLE_WINDOW
 from .tokens import FlatTokens
@@ -124,21 +125,58 @@ class TripleExtractor:
         )
 
 
-def extract_mentions(extracted: "ray.data.Dataset", batch_size: int = 4096, concurrency=(1, 8)) -> "ray.data.Dataset":
-    return extracted.map_batches(
-        TripleExtractor,
-        fn_constructor_kwargs={"emit": "mentions"},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+# Process-local extractor cache: the gazetteer/lexicon state is tiny, so the
+# stage runs as STATELESS TASKS (elastic, no actor-pool ramp-up — an
+# autoscaling pool never reaches full width inside a short job) with the
+# state built once per worker process. Pass ``assets`` explicitly to force
+# the actor-pool form instead (the right shape when state is model-sized).
+_EXTRACTOR_CACHE: dict[str, TripleExtractor] = {}
 
 
-def extract_triples(extracted: "ray.data.Dataset", batch_size: int = 4096, concurrency=(1, 8)) -> "ray.data.Dataset":
-    return extracted.map_batches(
-        TripleExtractor,
-        fn_constructor_kwargs={"emit": "triples"},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+def _extract_batch(batch: pa.Table, emit: str) -> pa.Table:
+    ex = _EXTRACTOR_CACHE.get(emit)
+    if ex is None:
+        ex = _EXTRACTOR_CACHE[emit] = TripleExtractor(emit=emit)
+    return ex(batch)
+
+
+def _mentions_batch(batch: pa.Table) -> pa.Table:
+    return _extract_batch(batch, "mentions")
+
+
+def _triples_batch(batch: pa.Table) -> pa.Table:
+    return _extract_batch(batch, "triples")
+
+
+def extract_mentions(
+    extracted: "ray.data.Dataset",
+    batch_size: int = 4096,
+    concurrency=None,
+    assets: SideAssets | None = None,
+) -> "ray.data.Dataset":
+    if assets is not None:
+        return extracted.map_batches(
+            TripleExtractor,
+            fn_constructor_kwargs={"assets": assets, "emit": "mentions"},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency if concurrency is not None else default_pool(),
+        )
+    return extracted.map_batches(_mentions_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_triples(
+    extracted: "ray.data.Dataset",
+    batch_size: int = 4096,
+    concurrency=None,
+    assets: SideAssets | None = None,
+) -> "ray.data.Dataset":
+    if assets is not None:
+        return extracted.map_batches(
+            TripleExtractor,
+            fn_constructor_kwargs={"assets": assets, "emit": "triples"},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency if concurrency is not None else default_pool(),
+        )
+    return extracted.map_batches(_triples_batch, batch_format="pyarrow", batch_size=batch_size)

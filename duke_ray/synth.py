@@ -256,23 +256,34 @@ def pages_batch_from_documents(batch: pa.Table, replica: int = 0, n_docs_per_rep
     if replica:
         doc_id = doc_id + np.int64(replica) * np.int64(n_docs_per_replica)
     text = batch["text"]
-    urls = pa.array([doc_url(int(d)) for d in doc_id], pa.string())
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+
+    # fully vectorized (Arrow string kernels): byte-identical to the scalar
+    # forms doc_url()/wrap_html(), golden-tested
+    id_str = pc.cast(pa.array(doc_id, pa.int64()), pa.string())
+    site_str = pc.cast(pa.array(doc_id % 101, pa.int64()), pa.string())
+    urls = pc.binary_join_element_wise(
+        "https://site", site_str, ".example/p/", id_str, ""
+    )
     ts = pa.array(_BASE_TS_US + doc_id * 1_000_000, pa.timestamp("us"))
-    even = doc_id % 2 == 0
-    text_py = text.to_pylist()
-    html_vals: list[bytes | None] = [None] * len(doc_id)
-    text_vals: list[str | None] = [None] * len(doc_id)
-    for i, is_even in enumerate(even):
-        if is_even:
-            html_vals[i] = wrap_html(text_py[i], int(doc_id[i]))
-        else:
-            text_vals[i] = text_py[i]
+    even = pa.array(doc_id % 2 == 0)
+    html_str = pc.binary_join_element_wise(
+        '<html><head><meta name="doc" content="', id_str, '">',
+        "<script>var x = ", id_str, ";</script>",
+        "<style>p { margin: 0 }</style></head>",
+        "<body><!-- synthetic ", id_str, " --><p>", text, "</p></body></html>",
+        "",
+    )
+    null_str = pa.scalar(None, pa.string())
+    html = pc.if_else(even, html_str, null_str).cast(pa.binary())
+    text_out = pc.if_else(even, null_str, text)
     return pa.table(
         {
             "url": urls,
             "warc_ts": ts,
-            "html": pa.array(html_vals, pa.binary()),
-            "text": pa.array(text_vals, pa.string()),
+            "html": html,
+            "text": text_out,
             "lang": batch["lang"],
         },
         schema=PAGES,
