@@ -94,6 +94,31 @@ def write_trial_csv(trials: pd.DataFrame, out_dir: str, run_id: str) -> str:
     return path
 
 
+def run_heuristic_grid(
+    ds: "ray.data.Dataset",
+    assets: SideAssets | None = None,
+    configs: list[dict] | None = None,
+    columns: list[str] | None = None,
+    top_n: int = 5,
+) -> pd.DataFrame:
+    """Unlabeled grid: top-n words per agg config (the reference's
+    heuristic_evaluate.py:59-113 eyeball harness, as a result table)."""
+    assets = assets or default_assets()
+    configs = configs or agg_config_grid()
+    rows = []
+    for cfg in configs:
+        res = summarize_dataset(ds, columns=columns, assets=assets, **cfg)
+        words, scores = res.top_n_words(top_n)
+        rows.append(
+            {
+                "config": f"{cfg['row_agg']}|{cfg['tree_agg']}|{cfg['source_agg']}",
+                "top_words": ", ".join(words),
+                "top_score": float(scores[0]),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
 def gen_label_stub(classes: list[str]) -> pd.DataFrame:
     """Empty labeling sheet (labels.py:10-22): class column + empty label."""
     return pd.DataFrame({"class": list(classes), "label": [""] * len(classes)})

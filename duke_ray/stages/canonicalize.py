@@ -115,6 +115,96 @@ def canonicalize_triples(triples: "ray.data.Dataset", n_salt: int = 16) -> "ray.
     return final.map_batches(_split_key, batch_format="pyarrow")
 
 
+def canonicalize_triples_approx(triples: "ray.data.Dataset", p: int = 12) -> "ray.data.Dataset":
+    """Approximate canonicalization: exact occurrence counts + HLL
+    distinct-page estimates (±~1.6% at p=12).
+
+    The scale path for 1e12 docs: no per-(triple, url) stage at all — each
+    batch emits one constant-size sketch per triple, sketches merge
+    associatively in a single partitioned_reduce. Output column is
+    ``n_pages_est`` (int64 rounded estimate) to keep it visibly approximate.
+    """
+    import numpy as np
+
+    from ..functions.sketch import HLL
+    from ..state.exchange import partitioned_reduce
+    from ..text import fnv1a64_arrow
+
+    def batch_sketches(batch: pa.Table) -> pa.Table:
+        spo = pc.binary_join_element_wise(batch["subj"], batch["pred"], batch["obj"], _SEP)
+        if isinstance(spo, pa.ChunkedArray):
+            spo = spo.combine_chunks()
+        url_h = fnv1a64_arrow(batch["url"])
+        spo_dict = spo.dictionary_encode()
+        codes = spo_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = spo_dict.dictionary
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        starts = np.flatnonzero(
+            np.concatenate([[True], sorted_codes[1:] != sorted_codes[:-1]])
+        )
+        bounds = np.append(starts, len(codes))
+        out_spo, out_n, out_sk = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            rows = order[s:e]
+            sk = HLL(p).add_hashes(url_h[rows])
+            out_spo.append(sorted_codes[s])
+            out_n.append(e - s)
+            out_sk.append(sk.to_bytes())
+        return pa.table(
+            {
+                "spo": uniq.take(pa.array(out_spo, pa.int64())) if out_spo else pa.array([], pa.string()),
+                "n": pa.array(out_n, pa.int64()),
+                "sketch": pa.array(out_sk, pa.binary()),
+            }
+        )
+
+    def merge_partition(t: pa.Table) -> pa.Table:
+        spo = t["spo"]
+        dic = spo.dictionary_encode() if not isinstance(spo, pa.ChunkedArray) else spo.combine_chunks().dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = dic.dictionary
+        n = t["n"].to_numpy(zero_copy_only=False)
+        sketches = t["sketch"].to_pylist()
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.flatnonzero(np.concatenate([[True], sc[1:] != sc[:-1]]))
+        bounds = np.append(starts, len(sc))
+        out_spo, out_occ, out_pages = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            rows = order[s:e]
+            merged = HLL.from_bytes(sketches[rows[0]], p)
+            for r in rows[1:]:
+                merged.merge(HLL.from_bytes(sketches[r], p))
+            out_spo.append(sc[s])
+            out_occ.append(int(n[rows].sum()))
+            out_pages.append(int(round(merged.estimate())))
+        return pa.table(
+            {
+                "spo": uniq.take(pa.array(out_spo, pa.int64())) if out_spo else pa.array([], pa.string()),
+                "n_occurrences": pa.array(out_occ, pa.int64()),
+                "n_pages": pa.array(out_pages, pa.int64()),
+            }
+        )
+
+    partials = triples.map_batches(batch_sketches, batch_format="pyarrow", batch_size=65536)
+    merged = partitioned_reduce(partials, "spo", merge_partition)
+
+    def split_est(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["spo"], pattern=_SEP)
+        return pa.table(
+            {
+                "subj": pc.list_element(parts, 0),
+                "pred": pc.list_element(parts, 1),
+                "obj": pc.list_element(parts, 2),
+                "n_occurrences": batch["n_occurrences"],
+                "n_pages_est": batch["n_pages"],
+            }
+        )
+
+    return merged.map_batches(split_est, batch_format="pyarrow")
+
+
 def exact_dedup_first(ds: "ray.data.Dataset", key: list[str] | str) -> "ray.data.Dataset":
     """Exact dedup: hash-partition on ``key``, keep the first row per group
     (deterministic tie-break: lexicographically smallest of the remaining

@@ -113,3 +113,15 @@ def test_csv_ingest_describe_cli(ray_session, small_df, tmp_path):
     assert res["description"].startswith("This dataset is about ")
     assert len(res["top_words"]) == 3
     assert set(res["sources"]) == {"headers", "player name", "team city"}
+
+
+def test_heuristic_grid(ray_session, small_df):
+    from duke_ray.pipelines.evaluate import run_heuristic_grid
+
+    ds = ray.data.from_pandas(small_df)
+    grid = run_heuristic_grid(ds)
+    assert len(grid) == 8
+    assert all("," in tw for tw in grid["top_words"])
+    # deterministic
+    grid2 = run_heuristic_grid(ds)
+    pd.testing.assert_frame_equal(grid, grid2)
