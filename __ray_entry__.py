@@ -195,6 +195,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["canonical_triples"] = canonical_triples
 
+    def canonical_triples_approx(sf):
+        """HLL-sketched page counts (rows-only; approximate by design)."""
+        from duke_ray.sources import read_pages
+        from duke_ray.stages.canonicalize import canonicalize_triples_approx
+        from duke_ray.stages.extract import extract_text
+        from duke_ray.stages.triples import extract_triples
+
+        return canonicalize_triples_approx(extract_triples(extract_text(read_pages(sf))))
+
+    q["canonical_triples_approx"] = canonical_triples_approx
+
     def kg_edges(sf):
         from duke_ray.pipelines.kg import build_edges
         from duke_ray.sources import read_pages
