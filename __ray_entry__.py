@@ -391,6 +391,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # -- relational coverage ----------------------------------------------
     q["pricing_summary"] = rel.pricing_summary
+    q["order_revenue_join"] = rel.order_revenue_join
+    q["user_running_values"] = rel.user_running_values
+    q["clicks_asof_purchases"] = rel.clicks_asof_purchases
     q["top_customers"] = rel.top_customers_by_revenue
     q["customers_per_region"] = rel.customers_per_region
     q["filtered_parts"] = rel.filtered_parts
@@ -521,6 +524,9 @@ SELECT query_id, neighbor_id, rank FROM (
     from duke_ray.pipelines import relational as rel
 
     sql["pricing_summary"] = rel.PRICING_SUMMARY_SQL
+    sql["order_revenue_join"] = rel.order_revenue_join_sql()
+    sql["user_running_values"] = rel.USER_RUNNING_VALUES_SQL
+    sql["clicks_asof_purchases"] = rel.CLICKS_ASOF_PURCHASES_SQL
     sql["top_customers"] = rel.top_customers_sql()
     sql["customers_per_region"] = rel.CUSTOMERS_PER_REGION_SQL
     sql["filtered_parts"] = rel.filtered_parts_sql()

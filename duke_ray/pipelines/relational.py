@@ -320,3 +320,148 @@ SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
 FROM events
 GROUP BY user_id
 """
+
+
+# large-large distributed hash join -------------------------------------------
+
+def order_revenue_join(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """lineitem x orders via Ray's hash-partitioned ``Dataset.join`` — the
+    large-large join form (broadcast is wrong when both sides scale).
+    Lineitem is pre-aggregated per order (partitioned_reduce — order-key
+    cardinality scales with the fact table) before the join, so the join's
+    left side is one row per order."""
+    from ..state.exchange import grouped_sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table(
+            {
+                "o_orderkey": batch["l_orderkey"],
+                "rev": _cents(rev),
+                "n": pa.array(np.ones(len(batch), dtype=np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("o_orderkey").aggregate([("rev", "sum"), ("n", "sum")])
+        return g.rename_columns(["o_orderkey", "rev", "n"])
+
+    per_order = grouped_sum(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "o_orderkey",
+        {"rev": "revenue_cents", "n": "n_lines"},
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_custkey"])
+    joined = per_order.join(
+        orders, join_type="inner", num_partitions=16, on=("o_orderkey",)
+    )
+    top = joined.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(k)
+    return top.select_columns(["o_orderkey", "o_custkey", "o_orderstatus", "revenue_cents", "n_lines"])
+
+
+def order_revenue_join_sql(k: int = 20) -> str:
+    return f"""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey, o_custkey, o_orderstatus
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT {k}
+"""
+
+
+# per-key ordered windows ------------------------------------------------------
+
+def user_running_values(sf_dir: str) -> "ray.data.Dataset":
+    """Running per-user aggregates in event-time order: cumulative sum and
+    lag — the partition-by-key / order-by-ts window pattern
+    (groupby(key).map_groups over the sorted group; key cardinality is
+    users, each group fits a worker by assumption, documented)."""
+    import pandas as pd
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def window(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="stable").copy()
+        milli = (g["value"] * 1000).round().astype("int64")
+        g["running_milli"] = milli.cumsum()
+        g["prev_milli"] = milli.shift(1)
+        return g[["event_id", "user_id", "running_milli", "prev_milli"]]
+
+    out = ev.groupby("user_id").map_groups(window, batch_format="pandas")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b["event_id"].cast(pa.int64()),
+                "user_id": b["user_id"].cast(pa.int64()),
+                "running_milli": b["running_milli"].cast(pa.int64()),
+                "prev_milli": b["prev_milli"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+USER_RUNNING_VALUES_SQL = """
+SELECT event_id, user_id,
+       SUM(CAST(ROUND(value * 1000) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_milli,
+       LAG(CAST(ROUND(value * 1000) AS BIGINT))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_milli
+FROM events
+"""
+
+
+# as-of join -------------------------------------------------------------------
+
+def clicks_asof_purchases(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join: for each click event, the latest purchase event at or
+    strictly before it (pandas merge_asof per sorted batch against the
+    broadcast sorted purchase timeline — the guide's range/as-of pattern;
+    at scale both sides bucket by time range and merge per bucket)."""
+    import pandas as pd
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    purchases = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], pa.scalar("purchase"))),
+        batch_format="pyarrow",
+    )
+    p_pd = purchases.to_pandas().sort_values(["ts", "event_id"], kind="stable")
+    p_pd = p_pd.rename(columns={"ts": "p_ts", "event_id": "purchase_id"})[["p_ts", "purchase_id"]]
+    import ray as _ray
+
+    p_ref = _ray.put(p_pd)
+
+    class AsOf:
+        def __init__(self, ref):
+            self.purchases = _ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            b = batch[batch["event_type"] == "click"].sort_values("ts", kind="stable")
+            if len(b) == 0:
+                return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                     "purchase_id": pd.Series([], dtype="int64")})
+            merged = pd.merge_asof(
+                b, self.purchases, left_on="ts", right_on="p_ts",
+                direction="backward", allow_exact_matches=False,
+            )
+            out = merged[["event_id", "purchase_id"]]
+            out = out[out["purchase_id"].notna()]
+            return out.astype({"event_id": "int64", "purchase_id": "int64"})
+
+    return ev.map_batches(AsOf, fn_constructor_kwargs={"ref": p_ref},
+                          batch_format="pandas", concurrency=(1, 4))
+
+
+CLICKS_ASOF_PURCHASES_SQL = """
+SELECT event_id, purchase_id FROM (
+  SELECT c.event_id,
+         (SELECT p.event_id FROM events p
+          WHERE p.event_type = 'purchase' AND p.ts < c.ts
+          ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS purchase_id
+  FROM events c WHERE c.event_type = 'click'
+) WHERE purchase_id IS NOT NULL
+"""
+
