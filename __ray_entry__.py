@@ -360,6 +360,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lang_id"] = lang_id
 
+    def quality_scores(sf):
+        from duke_ray.stages.textstats import quality_scores as qs
+
+        return qs(_extracted(sf))
+
+    q["quality_scores"] = quality_scores
+
+    def bpe_token_counts(sf):
+        from duke_ray.stages.textstats import bpe_token_counts as bc
+
+        return bc(_extracted(sf))
+
+    q["bpe_token_counts"] = bpe_token_counts
+
     def fingerprints_md5(sf):
         from duke_ray.stages.textstats import fingerprints
 
@@ -508,6 +522,29 @@ FROM documents
 """
 
     sql["fingerprints_md5"] = "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+    sql["quality_scores"] = f"""
+WITH {_TOKS_CTE},
+st AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1) AS stop_ratio,
+         SUM(length(tok)) / GREATEST(COUNT(*), 1) AS avg_len
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END
+        + CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 30 ELSE 0 END
+        + CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 30 ELSE 0 END)::BIGINT AS quality_centi
+FROM st
+"""
+
+    from duke_ray.stages.textstats import BPE_SPLIT_PATTERN
+
+    bpe_sql_pattern = BPE_SPLIT_PATTERN.replace("'", "''")
+    sql["bpe_token_counts"] = f"""
+SELECT doc_id, len(regexp_extract_all(text, '{bpe_sql_pattern}')) AS n_bpe_tokens
+FROM documents
+"""
 
     sql["knn_topk"] = """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)

@@ -73,6 +73,59 @@ def term_frequencies(docs: "ray.data.Dataset", text_col: str = "text") -> "ray.d
     return grouped_sum(partials, "token", {"n": "n"})
 
 
+def quality_scores(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "ray.data.Dataset":
+    """Composite document-quality score in [0, 1] — deterministic spec
+    (Gopher/C4-style heuristics reduced to exact arithmetic so the DuckDB
+    oracle mirrors it):
+
+        length_ok   = 1 if 10 <= n_tokens <= 1000 else 0
+        stop_ok     = 1 if 0.01 <= stopword_ratio <= 0.6 else 0
+        wordlen_ok  = 1 if 2.0 <= avg_token_len <= 12.0 else 0
+        quality_centi = length_ok*40 + stop_ok*30 + wordlen_ok*30   (int64)
+    """
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        st = token_stats_batch(batch, id_col, text_col)
+        n = st["n_tokens"].to_numpy(zero_copy_only=False)
+        stop = st["stopword_ratio"].to_numpy(zero_copy_only=False)
+        wl = st["avg_token_len"].to_numpy(zero_copy_only=False)
+        score = (
+            ((n >= 10) & (n <= 1000)).astype(np.int64) * 40
+            + ((stop >= 0.01) & (stop <= 0.6)).astype(np.int64) * 30
+            + ((wl >= 2.0) & (wl <= 12.0)).astype(np.int64) * 30
+        )
+        return pa.table(
+            {
+                "doc_id": st["doc_id"],
+                "quality_centi": pa.array(score, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=8192)
+
+
+# GPT-2-style pretokenizer pattern (public regex, RE2-compatible subset:
+# no lookahead — the trailing-space variant is folded into the classes)
+BPE_SPLIT_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_counts(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "ray.data.Dataset":
+    """(doc_id, n_bpe_tokens): counts of GPT-2-style pretokenizer matches —
+    the 'BPE-ish regex' token counter, fully vectorized via
+    ``pc.extract_regex``-free counting (count_substring_regex)."""
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch[text_col], pattern=BPE_SPLIT_PATTERN)
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "n_bpe_tokens": n.cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=8192)
+
+
 # --- language ID -----------------------------------------------------------
 
 _LANG_RULES = [

@@ -104,3 +104,22 @@ def test_frame_sampling(ray_session):
     for mid, fs in by_media.items():
         assert fs == sorted(fs)
         assert all(f % 5 == 0 for f in fs)
+
+
+def test_quality_scores(docs):
+    from duke_ray.stages.textstats import quality_scores
+
+    got = {r["doc_id"]: r["quality_centi"] for r in quality_scores(docs).take_all()}
+    # doc 0: 4 tokens (<10) -> 0; stop 0.25 in range -> 30; avg 4.0 -> 30
+    assert got[0] == 60
+    # doc 1 ('a a a'): 3 tokens -> 0; stop 1.0 out -> 0; avg 1.0 out -> 0
+    assert got[1] == 0
+
+
+def test_bpe_token_counts(docs):
+    from duke_ray.stages.textstats import bpe_token_counts
+
+    got = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(docs).take_all()}
+    # "the fast table scan": ["the"," fast"," table"," scan"] = 4
+    assert got[0] == 4
+    assert got[1] == 3  # "a a a" -> ["a", " a", " a"]
