@@ -232,14 +232,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["kg_nodes"] = kg_nodes
 
     def entity_link(sf):
-        """Linked mentions (rows-only: embedding NN not SQL-expressible)."""
+        """Linked mentions; the per-surface link decision is deterministic,
+        so the oracle inlines the expected surface->entity map as VALUES
+        (computed by the same top-k NN logic, single-process)."""
         from duke_ray.sources import read_pages
         from duke_ray.stages.extract import extract_text
         from duke_ray.stages.link import link_mentions
         from duke_ray.stages.triples import extract_mentions
 
         ds = link_mentions(extract_mentions(extract_text(read_pages(sf))))
-        return _url_to_doc_id(ds, ["pos", "surface", "entity_id", "entity_class"])
+        ds = _url_to_doc_id(ds, ["pos", "surface", "entity_id", "entity_class"])
+        return ds.map_batches(
+            lambda b: b.filter(pc.is_valid(b["entity_id"])), batch_format="pyarrow"
+        )
 
     q["entity_link"] = entity_link
 
@@ -507,6 +512,27 @@ SELECT e.entity_id, e.surface, e.class, COUNT(*) AS n_mentions
 FROM toks t JOIN ent e ON t.tok = e.surface
 WHERE t.tok IN ({linkable})
 GROUP BY e.entity_id, e.surface, e.class
+"""
+
+    # expected per-surface link decisions, computed locally by the same
+    # deterministic top-k NN logic the distributed LinkActor runs
+    from duke_ray.stages.link import LinkActor
+
+    _linker = LinkActor()
+    link_rows = []
+    for surface in assets.surface_to_entity:
+        res = _linker._link_surface(surface)
+        if res is not None:
+            link_rows.append((surface, res[0], res[2]))
+    link_values = ", ".join(
+        f"('{sfc}', {eid}, '{cls}')" for sfc, eid, cls in link_rows
+    )
+    sql["entity_link"] = f"""
+WITH {_TOKS_CTE},
+links(surface, entity_id, entity_class) AS (VALUES {link_values})
+SELECT t.doc_id, CAST(t.pos AS INTEGER) AS pos, t.tok AS surface,
+       l.entity_id, l.entity_class
+FROM toks t JOIN links l ON t.tok = l.surface
 """
 
     sql["exact_dedup"] = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
