@@ -17,12 +17,65 @@ hashing). Float-valued aggregates are expressed in exact integer units
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+
+def _ensure_workers_can_import() -> None:
+    """Ray workers resolve ``duke_ray`` via the driver's cwd / PYTHONPATH at
+    raylet start — NOT via driver-side sys.path edits. If a probe task can't
+    import it, ship the package by value (cloudpickle) as a fallback so the
+    contract works regardless of the driver's launch directory."""
+    import types
+
+    import ray
+
+    if not ray.is_initialized():
+        return
+    probe_mod = types.ModuleType("duke_ray_probe_dynamic")
+    exec(
+        "def probe():\n"
+        "    import importlib.util\n"
+        "    return importlib.util.find_spec('duke_ray') is not None\n",
+        probe_mod.__dict__,
+    )
+    try:
+        ok = ray.get(ray.remote(num_cpus=0)(probe_mod.probe).remote(), timeout=60)
+    except Exception:  # noqa: BLE001
+        return
+    if ok:
+        return
+    import importlib
+    import pkgutil
+
+    from ray import cloudpickle
+
+    import duke_ray
+
+    mods = [duke_ray]
+    for info in pkgutil.walk_packages(duke_ray.__path__, prefix="duke_ray."):
+        try:
+            mods.append(importlib.import_module(info.name))
+        except Exception:  # noqa: BLE001
+            continue
+    for m in mods:
+        try:
+            cloudpickle.register_pickle_by_value(m)
+        except Exception:  # noqa: BLE001
+            pass
+
+
+_ensure_workers_can_import()
 
 
 # --- helpers ----------------------------------------------------------------

@@ -195,9 +195,9 @@ def winnow_fingerprints(
     (doc_id, fingerprint) rows, the classic plagiarism/copy-detection
     signature. Rows-only oracle (positional min logic is painful in SQL)."""
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        from .dedup import _shingle_hashes
+    from .dedup import _shingle_hashes
 
+    def per_batch(batch: pa.Table) -> pa.Table:
         hashes, offs = _shingle_hashes(batch[text_col], k=k)
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         out_doc, out_fp = [], []

@@ -31,6 +31,7 @@ import ray.data
 
 from ..context import default_pool
 from ..assets import SideAssets
+from ..assets import default_assets as _default_assets
 from ..synth import TRIPLE_WINDOW
 from .tokens import FlatTokens
 
@@ -63,9 +64,7 @@ class TripleExtractor:
     dominate at 1e12 docs)."""
 
     def __init__(self, assets: SideAssets | None = None, emit: str = "triples"):
-        from ..assets import default_assets
-
-        assets = assets or default_assets()
+        assets = assets or _default_assets()
         self.surface_arr = pa.array(list(assets.surface_to_entity), pa.string())
         self.entity_ids = np.array(
             [assets.surface_to_entity[s] for s in self.surface_arr.to_pylist()], dtype=np.int64
