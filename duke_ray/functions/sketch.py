@@ -24,9 +24,23 @@ class HLL:
             registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
         )
 
+    @staticmethod
+    def _mix(h: np.ndarray) -> np.ndarray:
+        """MurmurHash3 fmix64 finalizer — FNV-1a avalanches poorly in its
+        HIGH bits for short-suffix keys (e.g. sequential urls), which starves
+        the register index; the finalizer fixes the distribution."""
+        with np.errstate(over="ignore"):
+            h = h.copy()
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xFF51AFD7ED558CCD)
+            h ^= h >> np.uint64(33)
+            h *= np.uint64(0xC4CEB9FE1A85EC53)
+            h ^= h >> np.uint64(33)
+        return h
+
     def add_hashes(self, hashes: np.ndarray) -> "HLL":
         """Vectorized add of pre-hashed uint64 values."""
-        h = hashes.astype(np.uint64, copy=False)
+        h = self._mix(hashes.astype(np.uint64, copy=False))
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
         rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
         # rank = leading zeros of rest + 1, computed via float log2 trick is

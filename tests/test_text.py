@@ -72,6 +72,13 @@ HTML_CASES = [
     b"",
     "café <b>bold</b>".encode(),
     b"\xff\xfe invalid utf8 <b>x</b>",
+    # adversarial nesting: fused-alternation vs sequential-pass equivalence
+    b"<!-- <script>x</script> -->after",
+    b"<script><!-- </script> -->tail",
+    b"<style>a<!--b--></style>c",
+    b"<scr<!-- -->ipt>text",
+    b"<SCRIPT foo>UPPER</SCRIPT>ok<STYLE>s</STYLE>",
+    b"<script>unclosed... <style>nope</style>",
 ]
 
 
