@@ -100,7 +100,9 @@ def extract_html_text(html: bytes | None) -> str | None:
     s = _TAG_RE.sub(" ", s)
     for ent, rep in _ENTITIES:
         s = s.replace(ent, rep)
-    s = _WS_RE.sub(" ", s).strip()
+    s = _WS_RE.sub(" ", s).strip(" \t\r\n\f\v")  # explicit set: Python's
+    # bare strip() removes ALL unicode whitespace (\x1c etc.) which Arrow's
+    # trim cannot mirror; the spec pins the ASCII class
     return s
 
 
@@ -131,7 +133,7 @@ def extract_html_text_arrow(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.Ch
     for ent, rep in _ENTITIES:
         s = pc.replace_substring(s, pattern=ent, replacement=rep)
     s = pc.replace_substring_regex(s, pattern=r"[ \t\r\n\f\v]+", replacement=" ")
-    s = pc.utf8_trim(s, characters=" ")
+    s = pc.utf8_trim(s, characters=" \t\r\n\f\v")
     return s
 
 
