@@ -410,6 +410,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lsh_cosine_pairs"] = lsh_cosine_pairs
 
+    def ivf_topk(sf):
+        """IVF approximate top-k (rows-only; recall-tested vs exact knn)."""
+        import pyarrow.parquet as pq
+
+        from duke_ray.stages.knn import ivf_topk as ivf
+
+        emb = pq.read_table(f"{sf}/embeddings.parquet")
+        qmask = pc.less(emb["vec_id"], pa.scalar(5, pa.int64()))
+        qtbl = emb.filter(qmask)
+        queries_mat = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
+        qids = np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64)
+        vectors = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+        return ivf(vectors, queries_mat, qids, k=5, n_centroids=16, nprobe=8)
+
+    q["ivf_topk"] = ivf_topk
+
     # -- text analysis -----------------------------------------------------
     def lang_id(sf):
         from duke_ray.stages.textstats import lang_id as li

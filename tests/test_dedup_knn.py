@@ -143,3 +143,33 @@ def test_lsh_cosine_pairs_high_recall_on_planted(ray_session):
     pairs = {(r["vec_a"], r["vec_b"]) for r in lsh_cosine_pairs(ds, threshold=0.95, n_planes=8).take_all()}
     planted = {(i, 50 + i) for i in range(10)}
     assert len(pairs & planted) >= 7  # single-table LSH: high-but-not-total recall
+
+
+def test_ivf_topk_recall(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    from duke_ray.stages.knn import ivf_topk
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    q, qids = mat[:4], ids[:4]
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    approx = {}
+    for r in ivf_topk(ds, q, qids, k=5, n_centroids=16, nprobe=8).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    exact = {}
+    for r in knn_topk(ds, q, qids, k=5).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    # driver embeddings are isotropic-random — IVF's adversarial regime
+    # (no cluster structure); nprobe=8/16 still reaches high recall
+    recalls = [len(approx.get(qid, set()) & exact[qid]) / 5 for qid in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # deterministic
+    again = {}
+    for r in ivf_topk(ds, q, qids, k=5, n_centroids=16, nprobe=8).take_all():
+        again.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert again == approx
