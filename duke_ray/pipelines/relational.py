@@ -66,11 +66,14 @@ def pricing_summary(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+# DuckDB SUM(BIGINT) returns HUGEINT which reaches pandas as float64 while the
+# Ray side emits int64; the driver's value-hash is dtype-sensitive, so every
+# oracle SUM is wrapped in CAST(... AS BIGINT) (VERDICT r1 fix #1).
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_cents,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
        COUNT(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -128,7 +131,7 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
 def top_customers_sql(k: int = 10) -> str:
     return f"""
 SELECT o_custkey, c_name,
-       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY o_custkey, c_name
@@ -246,7 +249,7 @@ def events_tumbling_hourly(sf_dir: str) -> "ray.data.Dataset":
 EVENTS_TUMBLING_SQL = """
 SELECT event_type,
        time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
-       SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_milli,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
        COUNT(*) AS n_events
 FROM events
 GROUP BY event_type, window_start
@@ -315,7 +318,7 @@ def user_event_spans(sf_dir: str) -> "ray.data.Dataset":
 
 USER_EVENT_SPANS_SQL = """
 SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
-       SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS sum_value_milli,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
        COUNT(*) AS n_events
 FROM events
 GROUP BY user_id
@@ -362,7 +365,7 @@ def order_revenue_join(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
 def order_revenue_join_sql(k: int = 20) -> str:
     return f"""
 SELECT o_orderkey, o_custkey, o_orderstatus,
-       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
        COUNT(*) AS n_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderkey, o_custkey, o_orderstatus
@@ -405,9 +408,9 @@ def user_running_values(sf_dir: str) -> "ray.data.Dataset":
 
 USER_RUNNING_VALUES_SQL = """
 SELECT event_id, user_id,
-       SUM(CAST(ROUND(value * 1000) AS BIGINT))
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_milli,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_milli,
        LAG(CAST(ROUND(value * 1000) AS BIGINT))
          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_milli
 FROM events

@@ -27,14 +27,14 @@ def to_pandas(obj) -> pd.DataFrame:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Deliberately NO int/float coercion: the driver's value-hash is
+    # dtype-sensitive (DuckDB SUM(BIGINT)->HUGEINT->float64 vs Ray int64 was
+    # masked here in r1 and failed the driver gate — VERDICT r1 "What's
+    # wrong" #2). Only timestamps are normalized to us resolution.
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
-        elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
-        elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
 
 
@@ -89,6 +89,14 @@ def main() -> int:
             problems.append(f"cols {list(got.columns)} != {list(want.columns)}")
         if not problems:
             for c in got.columns:
+                gk = got[c].dtype.kind
+                wk = want[c].dtype.kind
+                if gk != wk and {gk, wk} <= {"i", "u", "f"}:
+                    problems.append(
+                        f"col {c}: dtype kind mismatch {got[c].dtype} vs {want[c].dtype}"
+                        " (driver value-hash would fail)"
+                    )
+                    continue
                 a, b = got[c].to_numpy(), want[c].to_numpy()
                 if pd.api.types.is_float_dtype(got[c]):
                     eq = np.array_equal(a, b, equal_nan=True)
