@@ -72,9 +72,17 @@ def tokenize_arrow(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArra
 
 # --- HTML -> text ----------------------------------------------------------
 
-_SCRIPT_RE = re.compile(r"(?is)<script\b[^>]*>.*?</script>")
-_STYLE_RE = re.compile(r"(?is)<style\b[^>]*>.*?</style>")
-_COMMENT_RE = re.compile(r"(?s)<!--.*?-->")
+# Script/style/comment removal is ONE fused leftmost-first alternation in
+# BOTH the scalar spec and the Arrow form. Sequential passes and the fused
+# pass disagree on interleaved malformed HTML (e.g.
+# b'<style>a<script>b</style>c</script>d': sequential yields 'a d', fused
+# yields 'c d') — the fused form is the pinned semantics because it is one
+# memory sweep instead of three on a bandwidth-bound stage, and Python re
+# and RE2 share leftmost-first alternation discipline so the two forms stay
+# byte-identical (regression-tested on the interleaved case).
+_BLOCK_RE = re.compile(
+    r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->"
+)
 _TAG_RE = re.compile(r"<[^>]*>")
 _WS_RE = re.compile(r"[ \t\r\n\f\v]+")
 
@@ -94,9 +102,7 @@ def extract_html_text(html: bytes | None) -> str | None:
     if html is None:
         return None
     s = html.decode("utf-8", errors="replace")
-    s = _SCRIPT_RE.sub(" ", s)
-    s = _STYLE_RE.sub(" ", s)
-    s = _COMMENT_RE.sub(" ", s)
+    s = _BLOCK_RE.sub(" ", s)
     s = _TAG_RE.sub(" ", s)
     for ent, rep in _ENTITIES:
         s = s.replace(ent, rep)
@@ -118,17 +124,9 @@ def extract_html_text_arrow(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.Ch
     except pa.ArrowInvalid:
         vals = col.to_pylist() if not isinstance(col, pa.ChunkedArray) else col.combine_chunks().to_pylist()
         return pa.array([extract_html_text(v) for v in vals], type=pa.string())
-    # script/style/comment removal fused into ONE alternation pass: the
-    # leftmost-earliest match discipline makes it equivalent to the scalar
-    # form's sequential passes for every nesting (overlaps collapse to the
-    # same residue after whitespace normalization) — property-tested against
-    # the scalar spec on arbitrary bytes. One fewer multi-GB memory sweep
-    # per corpus: this stage is memory-bandwidth-bound.
-    s = pc.replace_substring_regex(
-        s,
-        pattern=r"(?is)<script\b[^>]*>.*?</script>|<style\b[^>]*>.*?</style>|<!--.*?-->",
-        replacement=" ",
-    )
+    # Same fused alternation as the scalar spec's _BLOCK_RE (see comment
+    # there): one memory sweep, leftmost-first in both Python re and RE2.
+    s = pc.replace_substring_regex(s, pattern=_BLOCK_RE.pattern, replacement=" ")
     s = pc.replace_substring_regex(s, pattern=r"<[^>]*>", replacement=" ")
     for ent, rep in _ENTITIES:
         s = pc.replace_substring(s, pattern=ent, replacement=rep)

@@ -79,6 +79,12 @@ HTML_CASES = [
     b"<scr<!-- -->ipt>text",
     b"<SCRIPT foo>UPPER</SCRIPT>ok<STYLE>s</STYLE>",
     b"<script>unclosed... <style>nope</style>",
+    # interleaved close tags (ADVICE r1): sequential passes would yield
+    # 'a d' here; the pinned fused-alternation semantics yield 'c d' in
+    # BOTH forms — this case locks the scalar spec to the fused pass.
+    b"<style>a<script>b</style>c</script>d",
+    b"<script>a<style>b</script>c</style>d",
+    b"<!--a<script>b-->c</script>d",
 ]
 
 
@@ -87,6 +93,12 @@ def test_extract_scalar_vs_vectorized(html):
     scalar = extract_html_text(html)
     vec = extract_html_text_arrow(pa.array([html], pa.binary()))[0].as_py()
     assert vec == scalar
+
+
+def test_extract_interleaved_pinned_semantics():
+    # Pinned value, not just scalar==vector: fused alternation removes the
+    # leftmost block first.
+    assert extract_html_text(b"<style>a<script>b</style>c</script>d") == "c d"
 
 
 def test_extract_examples():
