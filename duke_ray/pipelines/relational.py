@@ -83,13 +83,18 @@ GROUP BY l_returnflag, l_linestatus
 # broadcast-join top-k -------------------------------------------------------
 
 def top_customers_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
-    """orders x customer via broadcast hash lookup (small side shipped once
-    per actor pool, never a shuffle join — SURVEY.md §2.4 J-patterns),
-    grouped revenue in cents, global top-k by sort+limit."""
+    """Per-customer revenue (scaling key cardinality -> partitioned_reduce's
+    grouped_sum, not native groupby; VERDICT r1 #6), per-partition partial
+    top-k so the global sort sees ~256*k rows, then a broadcast name attach
+    on just the final k rows via vectorized ``pc.index_in`` dictionary take."""
     import ray
 
+    from ..state.exchange import grouped_sum
+
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    name_map_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    names_ref = ray.put(
+        (pa.array(cust["c_custkey"].to_numpy(), pa.int64()), pa.array(cust["c_name"], pa.string()))
+    )
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -97,35 +102,44 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
         t = pa.table(
             {
                 "o_custkey": batch["o_custkey"],
-                "revenue_cents": _cents(batch["o_totalprice"]),
+                "rev": _cents(batch["o_totalprice"]),
                 "n": pa.array(np.ones(len(batch), dtype=np.int64), pa.int64()),
             }
         )
-        g = t.group_by("o_custkey").aggregate([("revenue_cents", "sum"), ("n", "sum")])
-        return g.rename_columns(["o_custkey", "revenue_cents", "n_orders"])
+        g = t.group_by("o_custkey").aggregate([("rev", "sum"), ("n", "sum")])
+        return g.rename_columns(["o_custkey", "rev", "n"])
 
-    per_cust = orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    per_cust = per_cust.groupby("o_custkey").aggregate(
-        Sum("revenue_cents", alias_name="revenue_cents"),
-        Sum("n_orders", alias_name="n_orders"),
+    per_cust = grouped_sum(
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "o_custkey",
+        {"rev": "revenue_cents", "n": "n_orders"},
     )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.sort_indices(
+            batch,
+            sort_keys=[("revenue_cents", "descending"), ("o_custkey", "ascending")],
+        )
+        return batch.take(idx.slice(0, k))
+
+    candidates = per_cust.map_batches(partial_topk, batch_format="pyarrow")
+    top = candidates.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(k)
 
     class AttachName:
         def __init__(self, ref):
-            self.names = ray.get(ref)
+            self.keys, self.names = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["o_custkey"].to_pylist()
-            return batch.append_column(
-                "c_name", pa.array([self.names.get(int(c)) for c in keys], pa.string())
-            )
+            idx = pc.index_in(batch["o_custkey"], value_set=self.keys)
+            return batch.append_column("c_name", pc.take(self.names, idx))
 
-    named = per_cust.map_batches(
-        AttachName, fn_constructor_kwargs={"ref": name_map_ref},
-        batch_format="pyarrow", concurrency=(1, 2),
+    named = top.map_batches(
+        AttachName, fn_constructor_kwargs={"ref": names_ref},
+        batch_format="pyarrow", concurrency=1,
     )
-    top = named.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(k)
-    return top.select_columns(["o_custkey", "c_name", "revenue_cents", "n_orders"])
+    return named.select_columns(["o_custkey", "c_name", "revenue_cents", "n_orders"])
 
 
 def top_customers_sql(k: int = 10) -> str:
@@ -148,22 +162,23 @@ def customers_per_region(sf_dir: str) -> "ray.data.Dataset":
 
     nation = read_table(sf_dir, "nation").to_pandas()
     region = read_table(sf_dir, "region").to_pandas()
-    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    lookup_ref = ray.put({int(n): r2name[int(r)] for n, r in n2r.items()})
+    nk = pa.array(nation["n_nationkey"].to_numpy(), pa.int64())
+    rname = pa.array([r2name[int(r)] for r in nation["n_regionkey"]], pa.string())
+    lookup_ref = ray.put((nk, rname))
 
     cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
 
     class Resolve:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)
+            self.nk, self.rname = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            nk = batch["c_nationkey"].to_pylist()
+            idx = pc.index_in(batch["c_nationkey"].cast(pa.int64()), value_set=self.nk)
             t = pa.table(
                 {
-                    "r_name": pa.array([self.lookup[int(x)] for x in nk], pa.string()),
-                    "n": pa.array(np.ones(len(nk), dtype=np.int64), pa.int64()),
+                    "r_name": pc.take(self.rname, idx),
+                    "n": pa.array(np.ones(batch.num_rows, dtype=np.int64), pa.int64()),
                 }
             )
             g = t.group_by("r_name").aggregate([("n", "sum")])
@@ -378,32 +393,68 @@ LIMIT {k}
 
 def user_running_values(sf_dir: str) -> "ray.data.Dataset":
     """Running per-user aggregates in event-time order: cumulative sum and
-    lag — the partition-by-key / order-by-ts window pattern
-    (groupby(key).map_groups over the sorted group; key cardinality is
-    users, each group fits a worker by assumption, documented)."""
-    import pandas as pd
+    lag. Users are hashed into ~256 meta partitions (partitioned_reduce) and
+    each partition is windowed in ONE vectorized numpy pass — lexsort by
+    (user, ts, event_id), whole-array cumsum with per-segment base
+    subtraction, shifted lag nulled at segment starts. No per-user Python
+    call (the ~60us/key map_groups pathology, VERDICT r1 #5), and rounding
+    is half-away-from-zero to match the DuckDB oracle's ROUND (ADVICE r1)."""
+    from ..state.exchange import partitioned_reduce
 
     ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def window(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="stable").copy()
-        milli = (g["value"] * 1000).round().astype("int64")
-        g["running_milli"] = milli.cumsum()
-        g["prev_milli"] = milli.shift(1)
-        return g[["event_id", "user_id", "running_milli", "prev_milli"]]
-
-    out = ev.groupby("user_id").map_groups(window, batch_format="pandas")
-    return out.map_batches(
-        lambda b: pa.table(
+    def to_milli(batch: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "event_id": b["event_id"].cast(pa.int64()),
-                "user_id": b["user_id"].cast(pa.int64()),
-                "running_milli": b["running_milli"].cast(pa.int64()),
-                "prev_milli": b["prev_milli"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "milli": pc.cast(
+                    pc.round(pc.multiply(batch["value"], pa.scalar(1000.0)), round_mode="half_towards_infinity"),
+                    pa.int64(),
+                ),
             }
-        ),
-        batch_format="pyarrow",
-    )
+        )
+
+    def window_partition(t: pa.Table) -> pa.Table:
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        milli = t["milli"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts_us, user))
+        u, m = user[order], milli[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "running_milli": pa.array([], pa.int64()),
+                    "prev_milli": pa.array([], pa.int64()),
+                }
+            )
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = u[1:] != u[:-1]
+        cs = np.cumsum(m)
+        seg_start = np.flatnonzero(new_seg)
+        prefix = np.where(seg_start > 0, cs[seg_start - 1], 0)
+        seg_len = np.diff(np.append(seg_start, n))
+        running = cs - np.repeat(prefix, seg_len)
+        prev = np.empty(n, dtype=np.int64)
+        prev[1:] = m[:-1]
+        prev[0] = 0
+        return pa.table(
+            {
+                "event_id": pa.array(eid[order], pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "running_milli": pa.array(running, pa.int64()),
+                "prev_milli": pa.array(prev, pa.int64(), mask=new_seg),
+            }
+        )
+
+    milli = ev.map_batches(to_milli, batch_format="pyarrow", batch_size=65536)
+    return partitioned_reduce(milli, "user_id", window_partition)
 
 
 USER_RUNNING_VALUES_SQL = """
@@ -419,43 +470,103 @@ FROM events
 
 # as-of join -------------------------------------------------------------------
 
-def clicks_asof_purchases(sf_dir: str) -> "ray.data.Dataset":
-    """As-of join: for each click event, the latest purchase event at or
-    strictly before it (pandas merge_asof per sorted batch against the
-    broadcast sorted purchase timeline — the guide's range/as-of pattern;
-    at scale both sides bucket by time range and merge per bucket)."""
-    import pandas as pd
+_ASOF_BUCKET_US = 3_600_000_000  # 1h time buckets
 
-    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
-    purchases = ev.map_batches(
-        lambda b: b.filter(pc.equal(b["event_type"], pa.scalar("purchase"))),
-        batch_format="pyarrow",
-    )
-    p_pd = purchases.to_pandas().sort_values(["ts", "event_id"], kind="stable")
-    p_pd = p_pd.rename(columns={"ts": "p_ts", "event_id": "purchase_id"})[["p_ts", "purchase_id"]]
+
+def clicks_asof_purchases(sf_dir: str) -> "ray.data.Dataset":
+    """As-of join: for each click event, the latest purchase event strictly
+    before it.
+
+    Scale topology (VERDICT r1 #4 — no full-side driver materialization):
+    both sides are bucketed by 1h time range and co-shuffled by bucket; the
+    merge runs per bucket as one vectorized ``np.searchsorted`` against the
+    bucket's sorted purchases. Cross-bucket matches are handled by a carry
+    table — the per-bucket latest purchase is a tiny distributed aggregate
+    (<= one row per bucket reaches the driver, metadata-scale), prefix-maxed
+    into "latest purchase before bucket b" and broadcast via ``ray.put``.
+    """
     import ray as _ray
 
-    p_ref = _ray.put(p_pd)
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
 
-    class AsOf:
-        def __init__(self, ref):
-            self.purchases = _ray.get(ref)
+    def tag(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["event_type"], value_set=pa.array(["click", "purchase"]))
+        b = batch.filter(keep)
+        ts_us = b["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "bucket": pc.divide(ts_us, pa.scalar(_ASOF_BUCKET_US)),
+                "is_click": pc.equal(b["event_type"], pa.scalar("click")),
+                "event_id": b["event_id"],
+                "ts_us": ts_us,
+            }
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            b = batch[batch["event_type"] == "click"].sort_values("ts", kind="stable")
-            if len(b) == 0:
-                return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                                     "purchase_id": pd.Series([], dtype="int64")})
-            merged = pd.merge_asof(
-                b, self.purchases, left_on="ts", right_on="p_ts",
-                direction="backward", allow_exact_matches=False,
-            )
-            out = merged[["event_id", "purchase_id"]]
-            out = out[out["purchase_id"].notna()]
-            return out.astype({"event_id": "int64", "purchase_id": "int64"})
+    tagged = ev.map_batches(tag, batch_format="pyarrow", batch_size=65536)
 
-    return ev.map_batches(AsOf, fn_constructor_kwargs={"ref": p_ref},
-                          batch_format="pandas", concurrency=(1, 4))
+    # Per-bucket latest purchase: per-batch vectorized argmax partials, then
+    # a driver-side reduce over <= n_buckets rows (bounded metadata).
+    def latest_partial(batch: pa.Table) -> pa.Table:
+        p = batch.filter(pc.invert(batch["is_click"]))
+        if p.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "p_ts_us": pa.array([], pa.int64()),
+                             "purchase_id": pa.array([], pa.int64())})
+        bk = p["bucket"].to_numpy(zero_copy_only=False)
+        ts = p["ts_us"].to_numpy(zero_copy_only=False)
+        pid = p["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pid, ts, bk))
+        bk, ts, pid = bk[order], ts[order], pid[order]
+        last = np.empty(len(bk), dtype=bool)
+        last[-1] = True
+        last[:-1] = bk[1:] != bk[:-1]
+        return pa.table({"bucket": pa.array(bk[last], pa.int64()),
+                         "p_ts_us": pa.array(ts[last], pa.int64()),
+                         "purchase_id": pa.array(pid[last], pa.int64())})
+
+    latest = tagged.map_batches(latest_partial, batch_format="pyarrow").to_pandas()
+    latest = latest.sort_values(["bucket", "p_ts_us", "purchase_id"], kind="stable")
+    latest = latest.groupby("bucket", sort=True).last().reset_index()
+    # Prefix-max over sorted buckets: run_ts/run_id[i] = latest purchase
+    # (by ts, then id) in buckets[0..i]. A bucket's carry is the entry at
+    # the last purchase-bucket strictly before it (sorted lookup below).
+    p_buckets = latest["bucket"].to_numpy()
+    run_ts = np.empty(len(latest), np.int64)
+    run_id = np.empty(len(latest), np.int64)
+    bt = latest["p_ts_us"].to_numpy()
+    bi = latest["purchase_id"].to_numpy()
+    cur = (-1, -1)
+    for i in range(len(latest)):
+        cur = max(cur, (int(bt[i]), int(bi[i])))
+        run_ts[i], run_id[i] = cur
+    carry_ref = _ray.put((p_buckets, run_ts, run_id))
+
+    def merge_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "purchase_id": pa.array([], pa.int64())})
+        is_click = group["is_click"].to_numpy(zero_copy_only=False)
+        ts = group["ts_us"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        c_ts, c_id = ts[is_click], eid[is_click]
+        if len(c_ts) == 0:
+            return empty
+        p_ts, p_id = ts[~is_click], eid[~is_click]
+        bucket = int(group["bucket"][0].as_py())
+        pb, rts, rid = _ray.get(carry_ref)
+        j = np.searchsorted(pb, bucket, side="left") - 1  # latest bucket < this one
+        if j >= 0:
+            p_ts = np.append(rts[j : j + 1], p_ts)
+            p_id = np.append(rid[j : j + 1], p_id)
+        if len(p_ts) == 0:
+            return empty
+        order = np.lexsort((p_id, p_ts))
+        p_ts, p_id = p_ts[order], p_id[order]
+        idx = np.searchsorted(p_ts, c_ts, side="left") - 1
+        ok = idx >= 0
+        return pa.table({"event_id": pa.array(c_id[ok], pa.int64()),
+                         "purchase_id": pa.array(p_id[idx[ok]], pa.int64())})
+
+    return tagged.groupby("bucket").map_groups(merge_bucket, batch_format="pyarrow")
 
 
 CLICKS_ASOF_PURCHASES_SQL = """
