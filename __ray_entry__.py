@@ -348,12 +348,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["ngram_jaccard"] = ngram_jaccard
 
     def dedup_clusters(sf):
+        """Components over the EXACT-Jaccard pair set (not the MinHash
+        estimate) so a DuckDB recursive-CTE oracle can value-check the
+        clustering end to end (VERDICT r1 #3)."""
+        from duke_ray.stages.dedup import cluster_pairs, ngram_jaccard_pairs
+
+        pairs = ngram_jaccard_pairs(_perturbed_corpus(sf), threshold=0.6)
+        return cluster_pairs(pairs)
+
+    q["dedup_clusters"] = dedup_clusters
+
+    def dedup_clusters_minhash(sf):
+        """Same clustering over MinHash-estimated pairs (rows-only: the
+        estimate is not SQL-expressible)."""
         from duke_ray.stages.dedup import cluster_pairs, minhash_near_dup_pairs
 
         pairs = minhash_near_dup_pairs(_perturbed_corpus(sf), threshold=0.6)
         return cluster_pairs(pairs)
 
-    q["dedup_clusters"] = dedup_clusters
+    q["dedup_clusters_minhash"] = dedup_clusters_minhash
 
     # -- similarity search -------------------------------------------------
     def knn_topk(sf):
@@ -605,6 +618,65 @@ FROM toks t JOIN links l ON t.tok = l.surface
 """
 
     sql["exact_dedup"] = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+    # Exact k=3-shingle Jaccard over the perturbed corpus (documents plus a
+    # variant of each doc with its first 3 tokens dropped, doc_id += 10M) —
+    # mirrors queries()['_perturbed_corpus'] + ngram_jaccard_pairs. Shingle
+    # identity is the token triple (hash-collision-free at this scale);
+    # short rows (<3 tokens) contribute one whole-sequence shingle, marked
+    # 'S:' to keep the classes distinct, exactly like the engine's
+    # whole-row hash.
+    _NGRAM_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 4, len(string_split(text, ' '))), ' ') AS text
+  FROM documents
+),
+tks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || chr(31) || t[i+1] || chr(31) || t[i+2] AS s
+  FROM tks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i)
+  WHERE len(t) >= 3
+  UNION
+  SELECT doc_id, 'S:' || array_to_string(t, chr(31)) AS s FROM tks WHERE len(t) < 3
+),
+shc AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+ipairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+jpairs AS (
+  SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+  FROM ipairs JOIN shc ca ON ipairs.doc_a = ca.doc_id
+              JOIN shc cb ON ipairs.doc_b = cb.doc_id
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.6
+)
+"""
+
+    sql["ngram_jaccard"] = f"""
+WITH {_NGRAM_CORPUS_CTE}
+SELECT doc_a, doc_b, jaccard FROM jpairs
+"""
+
+    # Connected components over the exact pair set: min reachable node via
+    # a recursive closure (terminates because UNION deduplicates).
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {_NGRAM_CORPUS_CTE},
+cedges AS (
+  SELECT doc_a AS s, doc_b AS d FROM jpairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM jpairs
+),
+walk(v, lab) AS (
+  SELECT DISTINCT s, s FROM cedges
+  UNION
+  SELECT e.d, w.lab FROM walk w JOIN cedges e ON e.s = w.v
+)
+SELECT v AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY v
+"""
 
     sql["lang_id"] = """
 SELECT doc_id,

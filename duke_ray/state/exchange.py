@@ -32,6 +32,17 @@ from ..text import fnv1a64_arrow
 
 
 def _meta_of(batch: pa.Table, key_cols: list[str], n_meta: int) -> np.ndarray:
+    # Fast path: all-integer keys mix without a string cast (splitmix-style).
+    if all(pa.types.is_integer(batch[c].type) for c in key_cols):
+        h = np.zeros(len(batch), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                v = batch[c].cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+                h = (h ^ v) * np.uint64(0x9E3779B97F4A7C15)
+                h ^= h >> np.uint64(29)
+                h *= np.uint64(0xBF58476D1CE4E5B9)
+                h ^= h >> np.uint64(32)
+        return (h % np.uint64(n_meta)).astype(np.int32)
     key = batch[key_cols[0]].cast(pa.string())
     for c in key_cols[1:]:
         key = pa.compute.binary_join_element_wise(key, batch[c].cast(pa.string()), "\x1f")

@@ -104,6 +104,27 @@ def test_cluster_pairs_components(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30}
 
 
+def test_cluster_pairs_long_chain_converges(ray_session):
+    # 60-node path graph: diameter 59 — min-label without pointer jumping
+    # needs ~59 rounds; the label-doubling propagate must converge well
+    # inside the default max_rounds (ADVICE r1 silent-unconvergence fix).
+    import warnings
+
+    n = 60
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array(list(range(100, 100 + n - 1)), pa.int64()),
+                "doc_b": pa.array(list(range(101, 100 + n)), pa.int64()),
+            }
+        )
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).take_all()}
+    assert got == {100 + i: 100 for i in range(n)}
+
+
 def test_knn_matches_naive(ray_session, sf_dir):
     import pyarrow.parquet as pq
 
