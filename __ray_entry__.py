@@ -393,26 +393,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         vectors = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
 
         def noisy(batch: pa.Table) -> pa.Table:
+            from duke_ray.stages.knn import _matrix_to_fsl, _to_matrix
+
             ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
-            out = []
+            mat = _to_matrix(batch["embedding"])
+            out = np.empty_like(mat)
             for i, vid in enumerate(ids):
+                # per-id Philox keeps the planted noise batch-independent
                 gen = np.random.Generator(np.random.Philox(key=int(vid)))
                 g = gen.standard_normal(mat.shape[1])
                 # ~3% relative perturbation -> cosine ~0.9995 to the original
-                out.append(mat[i] + 0.03 * np.linalg.norm(mat[i]) * g / np.linalg.norm(g))
+                out[i] = mat[i] + 0.03 * np.linalg.norm(mat[i]) * g / np.linalg.norm(g)
             return pa.table(
                 {
                     "vec_id": pa.array(ids + 10_000_000, pa.int64()),
-                    "embedding": pa.array([r.tolist() for r in out], pa.list_(pa.float64())),
+                    "embedding": _matrix_to_fsl(out),
                 }
             )
 
         def to_f64(batch: pa.Table) -> pa.Table:
+            from duke_ray.stages.knn import _matrix_to_fsl, _to_matrix
+
             return pa.table(
                 {
                     "vec_id": batch["vec_id"].cast(pa.int64()),
-                    "embedding": batch["embedding"].cast(pa.list_(pa.float64())),
+                    "embedding": _matrix_to_fsl(_to_matrix(batch["embedding"])),
                 }
             )
 

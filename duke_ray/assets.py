@@ -29,6 +29,52 @@ from .synth import (
 )
 
 
+def load_word2vec_binary(path: str, limit: int | None = None) -> "pa.Table":
+    """Parse the classic word2vec binary format into a ``(word, vector)``
+    Arrow table (vector = fixed_size_list<float32>[D]).
+
+    Format (public, from Mikolov's word2vec distribution, the same layout
+    gensim's ``KeyedVectors.load_word2vec_format(binary=True)`` reads — the
+    reference loads such a model at /root/reference/Duke/embedding.py:7-17):
+    an ASCII header line ``"<vocab_size> <dim>\\n"``, then per entry the
+    word bytes, one 0x20 separator, and ``dim`` little-endian float32s.
+    Runs once on the driver; the resulting matrix is broadcast zero-copy
+    via ``ray.put`` (see ``SideAssets.broadcast``)."""
+    import pyarrow as pa
+
+    from .functions.vector import matrix_to_fixed_list
+
+    with open(path, "rb") as f:
+        header = f.readline().split()
+        n_words, dim = int(header[0]), int(header[1])
+        if limit is not None:
+            n_words = min(n_words, limit)
+        words: list[str] = []
+        mat = np.empty((n_words, dim), dtype=np.float32)
+        for i in range(n_words):
+            wb = bytearray()
+            while True:
+                ch = f.read(1)
+                if ch in (b" ", b""):
+                    break
+                if ch != b"\n":  # some writers emit a leading newline per row
+                    wb.extend(ch)
+            words.append(wb.decode("utf-8", errors="replace"))
+            mat[i] = np.frombuffer(f.read(4 * dim), dtype="<f4")
+    return pa.table({"word": pa.array(words, pa.string()), "vector": matrix_to_fixed_list(mat)})
+
+
+def _vector_dim(col) -> int:
+    """Width of a fixed_size_list / uniform list vector column."""
+    import pyarrow as pa
+
+    t = col.type
+    if pa.types.is_fixed_size_list(t):
+        return t.list_size
+    first = col[0].as_py()
+    return len(first) if first is not None else 0
+
+
 def normalize_class_tree(tree: dict[str, dict[str, list[str]]], in_vocab) -> dict[str, dict[str, list[str]]]:
     """Prune classes whose names contain out-of-vocab words, and drop edges to
     pruned classes (reference: /root/reference/Duke/class_tree.py:36-46)."""
@@ -130,11 +176,21 @@ class SideAssets:
     def build_synthetic(cls, tree_agg: str = "mean+max") -> "SideAssets":
         return cls._build_impl(None, None, None, tree_agg)
 
+    def broadcast(self) -> "object":
+        """Publish to the object store: ONE ``ray.put``; every worker process
+        on a node then maps the matrices zero-copy from shared memory (numpy
+        arrays deserialize from plasma without copying). Pass the returned
+        ref as ``assets=`` to the actor-pool stages."""
+        import ray
+
+        return ray.put(self)
+
     @classmethod
     def _build_impl(cls, tree_dict, vocab_tbl, ent_tbl, tree_agg: str) -> "SideAssets":
         vocab_tbl = vocab_tbl if vocab_tbl is not None else build_vocab_table()
         words = vocab_tbl["word"].to_pylist()
-        vmat = fixed_list_to_matrix(vocab_tbl["vector"], EMBED_DIM)
+        dim = _vector_dim(vocab_tbl["vector"]) or EMBED_DIM
+        vmat = fixed_list_to_matrix(vocab_tbl["vector"], dim)
         vindex = {w: i for i, w in enumerate(words)}
 
         raw_tree = tree_dict if tree_dict is not None else class_tree_dict()
@@ -153,7 +209,13 @@ class SideAssets:
             raise ValueError("entity_id must equal row index (engine convention: "
                              "LinkActor emits matrix row indices as entity ids)")
         surfaces = ent_tbl["surface"].to_pylist()
-        emat = fixed_list_to_matrix(ent_tbl["vector"], EMBED_DIM)
+        ent_dim = _vector_dim(ent_tbl["vector"]) or EMBED_DIM
+        if ent_dim != dim:
+            raise ValueError(
+                f"entity vector dim {ent_dim} != vocab dim {dim}: inject a "
+                "matching entities table when overriding the vocab"
+            )
+        emat = fixed_list_to_matrix(ent_tbl["vector"], ent_dim)
         eclasses = ent_tbl["class"].to_pylist()
 
         # tree-aggregated type score per entity: cosine(entity, classes) ->
@@ -184,6 +246,20 @@ class SideAssets:
                 zip(surfaces, ent_tbl["entity_id"].to_pylist())
             ),
         )
+
+
+def resolve_assets(assets) -> "SideAssets":
+    """None -> process-cached synthetic default; ObjectRef (from
+    ``SideAssets.broadcast``) -> zero-copy ``ray.get``; object -> itself.
+    Lets actor-pool stages accept a broadcast ref so a model-sized asset is
+    stored in plasma ONCE and mapped read-only by every worker on a node."""
+    if assets is None:
+        return default_assets()
+    import ray
+
+    if isinstance(assets, ray.ObjectRef):
+        return ray.get(assets)
+    return assets
 
 
 _CACHED: SideAssets | None = None

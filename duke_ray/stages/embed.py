@@ -23,7 +23,7 @@ import pyarrow as pa
 import ray.data
 
 from ..context import default_pool
-from ..assets import SideAssets, default_assets
+from ..assets import SideAssets
 from ..text import normalize_text
 
 
@@ -31,7 +31,9 @@ class EmbedScoreActor:
     """(source, value) rows -> per-(source, batch) partial class-score rows."""
 
     def __init__(self, assets: SideAssets | None = None):
-        self.assets = assets or default_assets()
+        from ..assets import resolve_assets
+
+        self.assets = resolve_assets(assets)
         # tokenization cache: the value-vocabulary of a column is typically
         # tiny relative to row count (Zipf), so memoize value -> embedding row
         self._memo: dict[str, np.ndarray | None] = {}

@@ -20,43 +20,59 @@ import pyarrow as pa
 import ray.data
 
 from ..context import default_pool
-from ..assets import SideAssets, default_assets
+from ..assets import SideAssets
 from ..text import normalize_text
+
+
+_MEMO_CAP = 1_000_000  # bound actor memory (same discipline as embed.py)
 
 
 class LinkActor:
     def __init__(self, assets: SideAssets | None = None, k: int = 3, emit_topk: bool = False):
-        self.assets = assets or default_assets()
+        from ..assets import resolve_assets
+
+        self.assets = resolve_assets(assets)
         self.k = min(k, self.assets.entity_matrix.shape[0])
         self.emit_topk = emit_topk  # per-row list column costs a Python loop
         self._memo: dict[str, tuple | None] = {}
 
-    def _link_surface(self, surface: str):
+    def _link_many(self, surfaces: list[str]) -> list:
+        """Link surfaces, ONE (U', d) @ (d, E) matmul for all unmemoized
+        uniques of the batch (not a matvec per surface)."""
         memo = self._memo
-        if surface in memo:
-            return memo[surface]
-        assets = self.assets
-        keep, vecs = assets.embed_value_rows([normalize_text(surface)])
-        if not keep[0]:
-            res = None
-        else:
-            sims = assets.entity_matrix @ vecs[0]          # (E,)
-            k = self.k
-            top = np.argpartition(-sims, k - 1)[:k]
-            top = top[np.argsort(-sims[top], kind="stable")]
-            # deterministic tie-break: lower entity_id first among equal sims
-            order = np.lexsort((top, -sims[top]))
-            top = top[order]
-            best = int(top[0])
-            res = (
-                best,
-                float(sims[best]),
-                assets.entity_classes[best],
-                float(assets.entity_type_scores[best]),
-                [int(t) for t in top],
-            )
-        memo[surface] = res
-        return res
+        missing = [s for s in surfaces if s not in memo]
+        if missing:
+            assets = self.assets
+            keep, vecs = assets.embed_value_rows([normalize_text(s) for s in missing])
+            fresh: dict[str, tuple | None] = {s: None for s, kp in zip(missing, keep) if not kp}
+            kept_surfs = [s for s, kp in zip(missing, keep) if kp]
+            if len(vecs):
+                sims = vecs @ assets.entity_matrix.T          # (U', E)
+                k = self.k
+                if k < sims.shape[1]:
+                    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+                else:
+                    part = np.tile(np.arange(sims.shape[1]), (sims.shape[0], 1))
+                for i, s in enumerate(kept_surfs):
+                    top = part[i]
+                    # deterministic tie-break: lower entity_id among equal sims
+                    order = np.lexsort((top, -sims[i, top]))
+                    top = top[order]
+                    best = int(top[0])
+                    fresh[s] = (
+                        best,
+                        float(sims[i, best]),
+                        assets.entity_classes[best],
+                        float(assets.entity_type_scores[best]),
+                        [int(t) for t in top],
+                    )
+            if len(memo) + len(fresh) > _MEMO_CAP:
+                memo.clear()
+            memo.update(fresh)
+        return [memo[s] for s in surfaces]
+
+    def _link_surface(self, surface: str):
+        return self._link_many([surface])[0]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # dictionary-encode: link each UNIQUE surface once, then gather —
@@ -67,7 +83,7 @@ class LinkActor:
         dic = surf.dictionary_encode()
         uniq = dic.dictionary.to_pylist()
         codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        linked = [self._link_surface(s) for s in uniq]
+        linked = self._link_many(uniq)
 
         u_eid = np.array([r[0] if r else -1 for r in linked], dtype=np.int64)
         u_score = np.array([r[1] if r else np.nan for r in linked], dtype=np.float32)
