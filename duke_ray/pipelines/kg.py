@@ -132,7 +132,10 @@ def run_kg_pipeline(
             extracted.write_parquet(ckpt)
             with open(marker, "w") as f:
                 json.dump({"fingerprint": fingerprint}, f)
-        extracted = ray.data.read_parquet(ckpt)
+        # Pruned re-read (VERDICT r1 #9): both branches consume only
+        # (url, text) — warc_ts/lang stay in the checkpoint files for
+        # other consumers but never enter the branch executions.
+        extracted = ray.data.read_parquet(ckpt, columns=["url", "text"])
 
     # node and edge branches run as CONCURRENT executions (two driver
     # threads, each with its own streaming executor sharing the cluster) —

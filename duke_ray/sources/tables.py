@@ -23,12 +23,27 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _clean_schema(path: str, columns: list[str] | None):
+    """File schema minus key-value metadata: pandas-written parquet carries a
+    metadata dict that makes pa.Schema unhashable, which defeats Ray's
+    schema-deduplication and spams 'Failed to hash the schemas' per task
+    (VERDICT r1 #9-minor). Passing a stripped schema silences it at the
+    source."""
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        import pyarrow as pa
+
+        schema = pa.schema([schema.field(c) for c in columns])
+    return schema
+
+
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray.data.Dataset":
     """Column-pruned Parquet read (prune at the read — SURVEY.md §1.2)."""
     from ..context import tune_context
 
     tune_context()
-    return ray.data.read_parquet(table_path(sf_dir, name), columns=columns)
+    path = table_path(sf_dir, name)
+    return ray.data.read_parquet(path, columns=columns, schema=_clean_schema(path, columns))
 
 
 def read_tabular(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":

@@ -76,6 +76,48 @@ def test_winnow_deterministic(docs):
     assert a == b and len(a) > 0
 
 
+def test_winnow_matches_scalar_reference(ray_session):
+    """Vectorized batch winnowing == per-row scalar winnowing (Schleimer
+    SIGMOD'03 semantics: distinct sliding-window minima per doc; rows with
+    <= window k-grams yield their single overall min)."""
+    from duke_ray.stages.dedup import _shingle_hashes
+
+    k, window = 5, 4
+    texts = [
+        "one two three four five six seven eight nine ten eleven twelve",
+        "a b c d e",   # exactly k tokens -> 1 shingle
+        "short",        # < k tokens -> whole-row shingle
+        "x y z " * 30,  # long, repetitive
+        "",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+    want = set()
+    for i, _ in enumerate(texts):
+        hashes, offs = _shingle_hashes(tbl["text"].slice(i, 1).combine_chunks(), k=k)
+        seg = hashes[offs[0] : offs[1]]
+        if len(seg) == 0:
+            continue
+        if len(seg) <= window:
+            fps = {int(seg.min())}
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(seg, window)
+            fps = {int(v) for v in w.min(axis=1)}
+        for fp in fps:
+            want.add((i, int(np.uint64(fp).astype(np.int64))))
+
+    got = {
+        (r["doc_id"], r["fingerprint"])
+        for r in winnow_fingerprints(ray.data.from_arrow(tbl), k=k, window=window).take_all()
+    }
+    assert got == want
+
+
 def test_media_decode_plumbing(ray_session):
     media = ray.data.from_arrow(synth_media_table(n=32))
     out = decode_features(media, backend="fake").take_all()
