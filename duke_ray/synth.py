@@ -268,11 +268,14 @@ def pages_batch_from_documents(batch: pa.Table, replica: int = 0, n_docs_per_rep
     )
     ts = pa.array(_BASE_TS_US + doc_id * 1_000_000, pa.timestamp("us"))
     even = pa.array(doc_id % 2 == 0)
+    # odd rows discard their html below — blank their text first so the
+    # join doesn't sweep/copy body bytes it immediately throws away
+    text_for_html = pc.if_else(even, text, pa.scalar("", pa.string()))
     html_str = pc.binary_join_element_wise(
         '<html><head><meta name="doc" content="', id_str, '">',
         "<script>var x = ", id_str, ";</script>",
         "<style>p { margin: 0 }</style></head>",
-        "<body><!-- synthetic ", id_str, " --><p>", text, "</p></body></html>",
+        "<body><!-- synthetic ", id_str, " --><p>", text_for_html, "</p></body></html>",
         "",
     )
     null_str = pa.scalar(None, pa.string())

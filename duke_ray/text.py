@@ -128,8 +128,12 @@ def extract_html_text_arrow(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.Ch
     # there): one memory sweep, leftmost-first in both Python re and RE2.
     s = pc.replace_substring_regex(s, pattern=_BLOCK_RE.pattern, replacement=" ")
     s = pc.replace_substring_regex(s, pattern=r"<[^>]*>", replacement=" ")
-    for ent, rep in _ENTITIES:
-        s = pc.replace_substring(s, pattern=ent, replacement=rep)
+    # Entity decode guard: every entity contains '&', so one cheap scan
+    # skips SIX full copy-sweeps on corpora without entities (this stage is
+    # memory-bandwidth-bound; semantics unchanged).
+    if pc.any(pc.match_substring(s, "&")).as_py():
+        for ent, rep in _ENTITIES:
+            s = pc.replace_substring(s, pattern=ent, replacement=rep)
     s = pc.replace_substring_regex(s, pattern=r"[ \t\r\n\f\v]+", replacement=" ")
     s = pc.utf8_trim(s, characters=" \t\r\n\f\v")
     return s
