@@ -1,0 +1,146 @@
+"""Edge-case semantics of the rewritten relational operators (VERDICT r1
+#4/#5): time-bucketed as-of join with cross-bucket carry, meta-partitioned
+running window. Verified against pandas references on crafted events that
+exercise the carry/boundary paths the sf tables don't."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from duke_ray.pipelines.relational import clicks_asof_purchases, user_running_values
+
+HOUR_US = 3_600_000_000
+BASE = 1_700_000_000_000_000  # some epoch-us anchor
+
+
+def _write_events(tmp_path, rows: list[tuple[int, int, int, str, float]]) -> str:
+    """rows: (event_id, ts_us, user_id, event_type, value)"""
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    d = tmp_path / "events_sf"
+    d.mkdir(exist_ok=True)
+    pq.write_table(tbl, str(d / "events.parquet"))
+    return str(d)
+
+
+def test_asof_carry_across_empty_buckets(ray_session, tmp_path):
+    """Clicks many hours after the only purchase must still match it (the
+    carry must jump over buckets with no purchases), clicks before any
+    purchase must drop, and an exact-timestamp collision must NOT match
+    (strictly-before semantics)."""
+    rows = [
+        (1, BASE + 10, 1, "click", 1.0),                    # before any purchase -> dropped
+        (2, BASE + 20, 1, "purchase", 1.0),                 # the only purchase
+        (3, BASE + 30, 1, "click", 1.0),                    # same bucket -> 2
+        (4, BASE + 5 * HOUR_US, 1, "click", 1.0),           # 5 empty buckets later -> 2
+        (5, BASE + 9 * HOUR_US + 7, 2, "click", 1.0),       # 9 buckets later -> 2
+        (6, BASE + 20, 2, "click", 1.0),                    # ts == purchase ts -> dropped
+        (7, BASE + 2 * HOUR_US, 2, "view", 1.0),            # non-click ignored
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {
+        r["event_id"]: r["purchase_id"]
+        for r in clicks_asof_purchases(sf).take_all()
+    }
+    assert got == {3: 2, 4: 2, 5: 2}
+
+
+def test_asof_latest_purchase_tiebreak(ray_session, tmp_path):
+    """Among purchases at the same latest ts, the highest event_id wins
+    (ORDER BY ts DESC, event_id DESC LIMIT 1 semantics), both within a
+    bucket and through the cross-bucket carry."""
+    rows = [
+        (1, BASE + 10, 1, "purchase", 1.0),
+        (2, BASE + 10, 1, "purchase", 1.0),    # same ts, higher id
+        (3, BASE + 50, 1, "click", 1.0),       # same bucket -> 2
+        (4, BASE + 3 * HOUR_US, 1, "click", 1.0),  # via carry -> 2
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {r["event_id"]: r["purchase_id"] for r in clicks_asof_purchases(sf).take_all()}
+    assert got == {3: 2, 4: 2}
+
+
+def test_asof_matches_pandas_merge_asof(ray_session, tmp_path):
+    """Randomized cross-check vs pandas merge_asof over many buckets."""
+    gen = np.random.Generator(np.random.Philox(key=42))
+    n = 3000
+    ts = BASE + np.sort(gen.integers(0, 40 * HOUR_US, size=n))
+    kinds = np.where(gen.random(n) < 0.2, "purchase", "click")
+    rows = [
+        (i, int(ts[i]), int(gen.integers(0, 20)), str(kinds[i]), 1.0)
+        for i in range(n)
+    ]
+    sf = _write_events(tmp_path, rows)
+
+    df = pd.DataFrame(
+        {"event_id": range(n), "ts": ts, "event_type": kinds}
+    )
+    p = df[df.event_type == "purchase"].sort_values(["ts", "event_id"])
+    # keep the max event_id per ts so backward-asof picks it on ties
+    p = p.groupby("ts", as_index=False).last()
+    c = df[df.event_type == "click"].sort_values("ts")
+    merged = pd.merge_asof(
+        c, p[["ts", "event_id"]].rename(columns={"event_id": "purchase_id"}),
+        on="ts", direction="backward", allow_exact_matches=False,
+    ).dropna(subset=["purchase_id"])
+    want = dict(zip(merged["event_id"], merged["purchase_id"].astype(int)))
+
+    got = {r["event_id"]: r["purchase_id"] for r in clicks_asof_purchases(sf).take_all()}
+    assert got == want
+
+
+def test_user_running_values_matches_pandas(ray_session, tmp_path):
+    gen = np.random.Generator(np.random.Philox(key=7))
+    n = 2000
+    rows = [
+        (
+            i,
+            BASE + int(gen.integers(0, 10 * HOUR_US)),
+            int(gen.integers(0, 7)),
+            "click",
+            float(np.round(gen.random() * 10, 4)),
+        )
+        for i in range(n)
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = (
+        user_running_values(sf)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    df = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "user_id": [r[2] for r in rows],
+            "value": [r[4] for r in rows],
+        }
+    )
+    m = df["value"] * 1000
+    # half away from zero, matching DuckDB ROUND
+    df["milli"] = (np.sign(m) * np.floor(np.abs(m) + 0.5)).astype("int64")
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+    df["running_milli"] = df.groupby("user_id")["milli"].cumsum()
+    df["prev_milli"] = df.groupby("user_id")["milli"].shift(1)
+    want = df.sort_values("event_id").reset_index(drop=True)
+
+    assert got["running_milli"].equals(want["running_milli"].astype("int64"))
+    pd.testing.assert_series_equal(
+        got["prev_milli"].astype("float64"),
+        want["prev_milli"].astype("float64"),
+        check_names=False,
+    )
