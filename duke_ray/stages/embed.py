@@ -39,19 +39,27 @@ class EmbedScoreActor:
         self._memo: dict[str, np.ndarray | None] = {}
 
     def _embed_values(self, values: list[str]) -> list[np.ndarray | None]:
-        out = []
+        """Embed ALL unmemoized unique values of the batch in one
+        embed_value_rows call (one vstack + one unit-norm), not one call per
+        value."""
         memo = self._memo
         assets = self.assets
-        for v in values:
-            if v in memo:
-                out.append(memo[v])
-                continue
-            keep, vecs = assets.embed_value_rows([normalize_text(v)])
-            vec = vecs[0] if keep[0] else None
-            if len(memo) < 1_000_000:  # bound actor memory
+        missing = list(dict.fromkeys(v for v in values if v not in memo))
+        fresh: dict[str, np.ndarray | None] = {}
+        if missing:
+            keep, vecs = assets.embed_value_rows([normalize_text(v) for v in missing])
+            vi = 0
+            for v, kp in zip(missing, keep):
+                if kp:
+                    fresh[v] = vecs[vi]
+                    vi += 1
+                else:
+                    fresh[v] = None
+            for v, vec in fresh.items():
+                if len(memo) >= 1_000_000:  # bound actor memory
+                    break
                 memo[v] = vec
-            out.append(vec)
-        return out
+        return [memo[v] if v in memo else fresh[v] for v in values]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sources = batch["source"].to_pylist()
