@@ -507,8 +507,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["user_event_spans"] = rel.user_event_spans
     q["distinct_segments"] = rel.distinct_segments
 
-    # -- multimodal plumbing (synthetic media; rows-only) ------------------
+    # -- multimodal: media columns wired to the documents input table ------
     def media_features(sf):
+        """Decode-features actor pool over the documents-derived media
+        table; the byte stats and payload digest are value-checked against
+        a DuckDB oracle over documents."""
+        from duke_ray.stages.multimodal import decode_features, media_from_documents
+
+        return decode_features(media_from_documents(sf), backend="fake").select_columns(
+            ["media_id", "mime", "n_bytes", "payload_md5"]
+        )
+
+    q["media_features"] = media_features
+
+    def media_frames(sf):
+        """Frame-sampling actor pool (video path shape) over the same media
+        table; (media_id, frame_no) is SQL-expressible."""
+        from duke_ray.stages.multimodal import media_from_documents, sample_frames
+
+        return sample_frames(media_from_documents(sf), every_n=10).select_columns(
+            ["media_id", "frame_no"]
+        )
+
+    q["media_frames"] = media_frames
+
+    def media_features_synth(sf):
+        """Original synthetic-payload variant (rows-only; exercises varying
+        binary payload sizes independent of the corpus)."""
         import ray.data
 
         from duke_ray.stages.multimodal import decode_features, synth_media_table
@@ -518,7 +543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["media_id", "mime", "n_bytes"]
         )
 
-    q["media_features"] = media_features
+    q["media_features_synth"] = media_features_synth
 
     return q
 
@@ -731,6 +756,24 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
     from duke_ray.pipelines import relational as rel
+
+    # media derivation is 1:1 from documents (payload = utf-8 text bytes):
+    # octet_length/md5 over the text ARE the engine's byte stats/digest
+    sql["media_features"] = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'image/jpeg' ELSE 'audio/wav' END AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+    sql["media_frames"] = """
+SELECT doc_id AS media_id, CAST(f.f AS INTEGER) AS frame_no
+FROM documents,
+LATERAL (SELECT unnest(generate_series(
+           0, CAST(greatest(octet_length(encode(text)) // 256, 1) AS BIGINT) - 1, 10)) AS f) f
+"""
 
     sql["pricing_summary"] = rel.PRICING_SUMMARY_SQL
     sql["order_revenue_join"] = rel.order_revenue_join_sql()

@@ -51,12 +51,43 @@ def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
     )
 
 
+MEDIA_MIMES = ["image/png", "image/jpeg", "audio/wav"]
+
+
+def media_from_documents(sf_dir: str) -> "ray.data.Dataset":
+    """documents -> 1:1 media table (the input-wired media-column path):
+    payload = utf-8 text bytes, mime cycles by media_id, dims deterministic.
+    Like the pages table, the 1:1 derivation keeps DuckDB oracles over
+    ``documents`` valid for media pipelines (payload byte stats and digests
+    are SQL-expressible via octet_length/md5)."""
+    from ..sources import read_table
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mimes = np.array(MEDIA_MIMES, dtype=object)[ids % 3]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "mime": pa.array(list(mimes), pa.string()),
+                "payload": batch["text"].cast(pa.binary()),
+                "width": pa.array((ids % 640 + 32).astype(np.int32), pa.int32()),
+                "height": pa.array((ids % 480 + 32).astype(np.int32), pa.int32()),
+            },
+            schema=MEDIA,
+        )
+
+    return docs.map_batches(to_media, batch_format="pyarrow", batch_size=1024)
+
+
 class DecodeFeaturesActor:
-    """payload binary -> fixed-size feature vector.
+    """payload binary -> fixed-size feature vector + byte stats/digest.
 
     ``__init__`` is where a real backend would load its model/codec once per
     actor; ``__call__`` is per batch. The fake backend derives features
-    deterministically from the payload hash (stable across processes)."""
+    deterministically from the payload hash (stable across processes);
+    ``n_bytes``/``payload_md5`` are real and DuckDB-oracle-able."""
 
     def __init__(self, backend: str = "fake", feature_dim: int = FEATURE_DIM):
         self.backend = backend
@@ -72,6 +103,8 @@ class DecodeFeaturesActor:
         return gen.standard_normal(self.feature_dim).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
         payloads = batch["payload"].to_pylist()
         feats = np.stack([self._fake_features(p) for p in payloads]) if payloads else np.empty((0, self.feature_dim), np.float32)
         return pa.table(
@@ -79,6 +112,9 @@ class DecodeFeaturesActor:
                 "media_id": batch["media_id"],
                 "mime": batch["mime"],
                 "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "payload_md5": pa.array(
+                    [hashlib.md5(p).hexdigest() for p in payloads], pa.string()
+                ),
                 "features": pa.FixedSizeListArray.from_arrays(
                     pa.array(feats.ravel(), pa.float32()), self.feature_dim
                 ),
