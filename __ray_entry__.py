@@ -428,6 +428,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lsh_cosine_pairs"] = lsh_cosine_pairs
 
+    def cosine_pairs_exact(sf):
+        """Brute-force exact cosine pairs (the similarity-search baseline);
+        ids-only output is value-checked against DuckDB
+        list_cosine_similarity."""
+        from duke_ray.stages.knn import cosine_pairs_exact as cpe
+
+        vectors = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+        return cpe(vectors, threshold=0.3)
+
+    q["cosine_pairs_exact"] = cosine_pairs_exact
+
     def ivf_topk(sf):
         """IVF approximate top-k (rows-only; recall-tested vs exact knn)."""
         import pyarrow.parquet as pq
@@ -756,6 +767,12 @@ SELECT query_id, neighbor_id, rank FROM (
 """
 
     from duke_ray.pipelines import relational as rel
+
+    sql["cosine_pairs_exact"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3
+"""
 
     # media derivation is 1:1 from documents (payload = utf-8 text bytes):
     # octet_length/md5 over the text ARE the engine's byte stats/digest

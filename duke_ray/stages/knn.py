@@ -114,6 +114,51 @@ def knn_topk(
     )
 
 
+def cosine_pairs_exact(
+    vectors: "ray.data.Dataset",
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "ray.data.Dataset":
+    """EXACT cosine near-neighbor pairs (vec_a < vec_b, cosine >= threshold)
+    — the brute-force baseline: the unit-normed corpus matrix is broadcast
+    once (``ray.put``) and each batch does one (B, d) @ (d, N) matmul,
+    emitting only its above-threshold pairs. O(N^2) compute by definition;
+    ``lsh_cosine_pairs`` / ``ivf_topk`` are the scale paths. Output carries
+    ids only (no float column) so the driver value-hash is rounding-proof."""
+    import ray
+
+    mat_tbl = vectors.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = mat_tbl[id_col].to_numpy().astype(np.int64)
+    order = np.argsort(ids_all, kind="stable")
+    ids_all = ids_all[order]
+    corpus = unit_norm_rows(
+        np.asarray(mat_tbl[vec_col].to_list(), dtype=np.float64)[order]
+    )
+    ref = ray.put((ids_all, corpus))
+
+    class PairScan:
+        def __init__(self):
+            self.ids, self.corpus = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mat = unit_norm_rows(_to_matrix(batch[vec_col]))
+            bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            sims = mat @ self.corpus.T                     # (B, N)
+            bi, cj = np.nonzero(sims >= threshold)
+            a, b = bids[bi], self.ids[cj]
+            keep = a < b                                   # dedupe + drop self
+            return pa.table(
+                {
+                    "vec_a": pa.array(a[keep], pa.int64()),
+                    "vec_b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+    return vectors.map_batches(PairScan, batch_format="pyarrow", batch_size=4096,
+                               concurrency=(1, 4))
+
+
 # --- LSH-bucketed cosine near-neighbor pairs (ANN scale path) --------------
 
 class HyperplaneLSH:
