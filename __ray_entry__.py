@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_tumbling"] = rel.events_tumbling_hourly
     q["user_event_spans"] = rel.user_event_spans
     q["distinct_segments"] = rel.distinct_segments
+    q["user_sessions"] = rel.user_sessions
 
     # -- multimodal: media columns wired to the documents input table ------
     def media_features(sf):
@@ -802,5 +803,6 @@ LATERAL (SELECT unnest(generate_series(
     sql["events_tumbling"] = rel.EVENTS_TUMBLING_SQL
     sql["user_event_spans"] = rel.USER_EVENT_SPANS_SQL
     sql["distinct_segments"] = rel.DISTINCT_SEGMENTS_SQL
+    sql["user_sessions"] = rel.user_sessions_sql()
 
     return sql

@@ -468,6 +468,81 @@ FROM events
 """
 
 
+# gap-based sessionization -----------------------------------------------------
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30) -> "ray.data.Dataset":
+    """Gap-based session assignment: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes``. Same meta-partitioned
+    vectorized-window topology as ``user_running_values`` (hash users into
+    partitions, one lexsort + segmented scan per partition, no per-user
+    Python)."""
+    from ..state.exchange import partitioned_reduce
+
+    gap_us = gap_minutes * 60_000_000
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    def sess_partition(t: pa.Table) -> pa.Table:
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts_us, user))
+        u, tsu, e = user[order], ts_us[order], eid[order]
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "session_no": pa.array([], pa.int64()),
+                }
+            )
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = u[1:] != u[:-1]
+        dt = np.empty(n, dtype=np.int64)
+        dt[0] = 0
+        dt[1:] = tsu[1:] - tsu[:-1]
+        new_sess = new_seg | (dt > gap_us)
+        cs = np.cumsum(new_sess.astype(np.int64))
+        seg_start = np.flatnonzero(new_seg)
+        seg_len = np.diff(np.append(seg_start, n))
+        session_no = cs - np.repeat(cs[seg_start], seg_len)
+        return pa.table(
+            {
+                "event_id": pa.array(e, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "session_no": pa.array(session_no, pa.int64()),
+            }
+        )
+
+    rows = ev.map_batches(to_rows, batch_format="pyarrow", batch_size=65536)
+    return partitioned_reduce(rows, "user_id", sess_partition)
+
+
+def user_sessions_sql(gap_minutes: int = 30) -> str:
+    return f"""
+SELECT event_id, user_id,
+       CAST(SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL {gap_minutes} MINUTE
+                     THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_no
+FROM (
+  SELECT event_id, user_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+)
+"""
+
+
 # as-of join -------------------------------------------------------------------
 
 _ASOF_BUCKET_US = 3_600_000_000  # 1h time buckets

@@ -1,3 +1,3 @@
-from .tables import documents_row_count, read_pages, read_table, table_path
+from .tables import documents_row_count, read_pages, read_table, read_tabular, table_path
 
-__all__ = ["documents_row_count", "read_pages", "read_table", "table_path"]
+__all__ = ["documents_row_count", "read_pages", "read_table", "read_tabular", "table_path"]

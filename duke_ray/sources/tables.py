@@ -47,14 +47,20 @@ def read_table(sf_dir: str, name: str, columns: list[str] | None = None) -> "ray
 
 
 def read_tabular(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
-    """Path-based tabular ingest: Parquet or CSV-with-header (the reference's
-    primary input, /root/reference/Duke/dataset.py:37). Column pruning is
-    applied at the read for Parquet and post-read for CSV."""
+    """Path-based tabular ingest: Parquet, CSV-with-header (the reference's
+    primary input, /root/reference/Duke/dataset.py:37), or JSON-lines.
+    Column pruning is applied at the read for Parquet and post-read for
+    CSV/JSONL."""
     from ..context import tune_context
 
     tune_context()
     if path.endswith(".csv"):
         ds = ray.data.read_csv(path)
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds
+    if path.endswith((".json", ".jsonl")):
+        ds = ray.data.read_json(path)
         if columns:
             ds = ds.select_columns(columns)
         return ds

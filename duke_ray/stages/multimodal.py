@@ -138,6 +138,52 @@ def decode_features(
     )
 
 
+class ResizeActor:
+    """image payload -> resized payload with updated dims (actor pool; a
+    real backend decodes + resamples per batch; the fake backend derives a
+    deterministic fixed-size payload from the source bytes so downstream
+    schema/size invariants are testable)."""
+
+    def __init__(self, width: int = 64, height: int = 64, backend: str = "fake"):
+        if backend == "real":
+            # a real deployment: self.codec = load_image_codec(...)
+            raise NotImplementedError("no imaging codecs in this environment")
+        self.width, self.height = width, height
+        self.out_bytes = max(16, (width * height) // 64)  # fake: bounded thumbnail
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for payload in batch["payload"].to_pylist():
+            if len(payload) >= self.out_bytes:
+                out.append(payload[: self.out_bytes])
+            else:  # tile deterministically up to size
+                reps = self.out_bytes // max(1, len(payload)) + 1
+                out.append((payload * reps)[: self.out_bytes])
+        n = batch.num_rows
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "mime": batch["mime"],
+                "payload": pa.array(out, pa.binary()),
+                "width": pa.array(np.full(n, self.width, np.int32), pa.int32()),
+                "height": pa.array(np.full(n, self.height, np.int32), pa.int32()),
+            },
+            schema=MEDIA,
+        )
+
+
+def resize_media(
+    media: "ray.data.Dataset", width: int = 64, height: int = 64, batch_size: int = 32
+) -> "ray.data.Dataset":
+    return media.map_batches(
+        ResizeActor,
+        fn_constructor_kwargs={"width": width, "height": height},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 2),
+    )
+
+
 class FrameSampleActor:
     """video payload -> every-nth-frame sample rows (flat_map-shaped batch
     expansion). Fake backend slices the payload deterministically."""

@@ -101,6 +101,44 @@ def test_asof_matches_pandas_merge_asof(ray_session, tmp_path):
     assert got == want
 
 
+def test_user_sessions_gap_semantics(ray_session, tmp_path):
+    from duke_ray.pipelines.relational import user_sessions
+
+    GAP = 30 * 60_000_000
+    rows = [
+        (1, BASE, 1, "click", 1.0),
+        (2, BASE + GAP, 1, "click", 1.0),            # exactly gap -> SAME session
+        (3, BASE + 2 * GAP + 1, 1, "click", 1.0),    # gap exceeded -> new session
+        (4, BASE + 2 * GAP + 2, 1, "click", 1.0),    # tiny gap -> same
+        (5, BASE, 2, "click", 1.0),                  # other user independent
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {r["event_id"]: r["session_no"] for r in user_sessions(sf).take_all()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_user_sessions_matches_pandas(ray_session, tmp_path):
+    from duke_ray.pipelines.relational import user_sessions
+
+    gen = np.random.Generator(np.random.Philox(key=11))
+    n = 2000
+    rows = [
+        (i, BASE + int(gen.integers(0, 6 * HOUR_US)), int(gen.integers(0, 9)), "click", 1.0)
+        for i in range(n)
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {r["event_id"]: r["session_no"] for r in user_sessions(sf).take_all()}
+
+    df = pd.DataFrame(
+        {"event_id": [r[0] for r in rows], "ts": [r[1] for r in rows], "user_id": [r[2] for r in rows]}
+    ).sort_values(["user_id", "ts", "event_id"], kind="stable")
+    gap = 30 * 60_000_000
+    new_sess = (df.groupby("user_id")["ts"].diff().fillna(gap + 1) > gap)
+    df["session_no"] = new_sess.groupby(df["user_id"]).cumsum().astype(int) - 1
+    want = dict(zip(df["event_id"], df["session_no"]))
+    assert got == want
+
+
 def test_user_running_values_matches_pandas(ray_session, tmp_path):
     gen = np.random.Generator(np.random.Philox(key=7))
     n = 2000

@@ -118,6 +118,21 @@ def test_winnow_matches_scalar_reference(ray_session):
     assert got == want
 
 
+def test_resize_media_plumbing(ray_session):
+    from duke_ray.stages.multimodal import resize_media
+
+    media = ray.data.from_arrow(synth_media_table(n=16))
+    out = resize_media(media, width=64, height=64).take_all()
+    assert len(out) == 16
+    expect_bytes = max(16, (64 * 64) // 64)
+    for r in out:
+        assert len(r["payload"]) == expect_bytes
+        assert r["width"] == 64 and r["height"] == 64
+    # deterministic
+    out2 = resize_media(ray.data.from_arrow(synth_media_table(n=16)), 64, 64).take_all()
+    assert sorted(r["payload"] for r in out2) == sorted(r["payload"] for r in out)
+
+
 def test_media_decode_plumbing(ray_session):
     media = ray.data.from_arrow(synth_media_table(n=32))
     out = decode_features(media, backend="fake").take_all()
