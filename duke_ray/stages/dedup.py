@@ -799,6 +799,9 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_rounds: int = 16) -> "ray.data.
         )
         new_labels = partitioned_reduce(old_rows.union(cand_rows), "doc_id", apply_round).materialize()
         n_changed = new_labels.sum("changed") or 0
+        # unconditional: keeping the label table at the block budget every
+        # round measured FASTER than repartitioning lazily on drift (blocks
+        # creep 3x/round between lazy repartitions and each op pays for it)
         labels = new_labels.drop_columns(["changed"]).repartition(n_blocks).materialize()
         if _dbg:
             print(f"cc round {_round}: changed={n_changed} took {time.time() - _t0:.2f}s", flush=True)

@@ -104,6 +104,44 @@ def test_cluster_pairs_components(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30}
 
 
+def test_cluster_pairs_random_graphs_match_union_find(ray_session):
+    """Distributed min-label propagation == reference union-find on random
+    graphs (mixed component shapes: chains, stars, cliques emerge from
+    uniform random edges at varying densities)."""
+
+    def union_find_labels(edges, nodes):
+        parent = {v: v for v in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in nodes}
+
+    gen = np.random.Generator(np.random.Philox(key=123))
+    for density, n_nodes in [(0.5, 80), (1.5, 120), (3.0, 60)]:
+        n_edges = int(n_nodes * density)
+        a = gen.integers(0, n_nodes, size=n_edges)
+        b = gen.integers(0, n_nodes, size=n_edges)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        if not len(a):
+            continue
+        pairs = ray.data.from_arrow(
+            pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+        )
+        got = {r["doc_id"]: r["cluster_id"] for r in cluster_pairs(pairs).take_all()}
+        nodes = set(map(int, a)) | set(map(int, b))
+        want = union_find_labels(list(zip(map(int, a), map(int, b))), nodes)
+        assert got == want, f"density={density}"
+
+
 def test_cluster_pairs_long_chain_converges(ray_session):
     # 60-node path graph: diameter 59 — min-label without pointer jumping
     # needs ~59 rounds; the label-doubling propagate must converge well
