@@ -80,17 +80,22 @@ def build_nodes(linked_mentions: "ray.data.Dataset", assets: SideAssets) -> "ray
 
 def build_edges(canonical: "ray.data.Dataset", assets: SideAssets) -> "ray.data.Dataset":
     """Edge table: canonical triples with surfaces resolved to entity ids via
-    the broadcast gazetteer (no shuffle join — SURVEY.md J5)."""
-    s2e = dict(assets.surface_to_entity)
+    the broadcast gazetteer (no shuffle join — SURVEY.md J5); the lookup is
+    one vectorized ``pc.index_in`` dictionary take per batch."""
+    surfaces = pa.array(list(assets.surface_to_entity), pa.string())
+    eids = pa.array(
+        [assets.surface_to_entity[s] for s in assets.surface_to_entity], pa.int64()
+    )
 
     def resolve(batch: pa.Table) -> pa.Table:
-        subj = [s2e.get(s) for s in batch["subj"].to_pylist()]
-        obj = [s2e.get(s) for s in batch["obj"].to_pylist()]
+        pc_ = pa.compute
+        subj = pc_.take(eids, pc_.index_in(batch["subj"], value_set=surfaces))
+        obj = pc_.take(eids, pc_.index_in(batch["obj"], value_set=surfaces))
         return pa.table(
             {
-                "subj_id": pa.array(subj, pa.int64()),
+                "subj_id": subj,
                 "pred": batch["pred"],
-                "obj_id": pa.array(obj, pa.int64()),
+                "obj_id": obj,
                 "n_occurrences": batch["n_occurrences"].cast(pa.int64()),
                 "n_pages": batch["n_pages"].cast(pa.int64()),
             }
