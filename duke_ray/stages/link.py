@@ -28,13 +28,49 @@ _MEMO_CAP = 1_000_000  # bound actor memory (same discipline as embed.py)
 
 
 class LinkActor:
-    def __init__(self, assets: SideAssets | None = None, k: int = 3, emit_topk: bool = False):
+    """``index="flat"`` (default): exact top-k over the full entity matrix.
+    ``index="ivf"``: the 1e6-1e8-entity scale path — entities are sharded
+    into IVF cells once per actor in ``__init__`` (deterministic seeded
+    k-means); each surface probes only its ``nprobe`` nearest cells, so the
+    per-surface score is over ~nprobe/n_cells of the index. Approximate by
+    design (recall tested vs flat)."""
+
+    def __init__(self, assets: SideAssets | None = None, k: int = 3, emit_topk: bool = False,
+                 index: str = "flat", n_cells: int = 64, nprobe: int = 8):
         from ..assets import resolve_assets
 
         self.assets = resolve_assets(assets)
         self.k = min(k, self.assets.entity_matrix.shape[0])
         self.emit_topk = emit_topk  # per-row list column costs a Python loop
         self._memo: dict[str, tuple | None] = {}
+        self.index = index
+        if index == "ivf":
+            from .knn import build_ivf_centroids
+
+            emat = self.assets.entity_matrix
+            n_ent = emat.shape[0]
+            self._cents = build_ivf_centroids(
+                np.asarray(emat, dtype=np.float64), n_centroids=min(n_cells, n_ent)
+            ).astype(np.float32)
+            assign = np.argmax(emat @ self._cents.T, axis=1)
+            order = np.argsort(assign, kind="stable")
+            self._cell_members = order.astype(np.int64)          # entity ids grouped by cell
+            self._cell_bounds = np.searchsorted(
+                assign[order], np.arange(len(self._cents) + 1)
+            )
+            self.nprobe = min(nprobe, len(self._cents))
+        elif index != "flat":
+            raise ValueError(f"unknown index type {index!r}")
+
+    def _candidates(self, vec: np.ndarray) -> np.ndarray:
+        """IVF probe: entity ids in the nprobe nearest cells (sorted)."""
+        cell_sims = self._cents @ vec
+        probe = np.argpartition(-cell_sims, self.nprobe - 1)[: self.nprobe]
+        parts = [
+            self._cell_members[self._cell_bounds[c] : self._cell_bounds[c + 1]]
+            for c in probe
+        ]
+        return np.sort(np.concatenate(parts)) if parts else np.empty(0, np.int64)
 
     def _link_many(self, surfaces: list[str]) -> list:
         """Link surfaces, ONE (U', d) @ (d, E) matmul for all unmemoized
@@ -46,7 +82,32 @@ class LinkActor:
             keep, vecs = assets.embed_value_rows([normalize_text(s) for s in missing])
             fresh: dict[str, tuple | None] = {s: None for s, kp in zip(missing, keep) if not kp}
             kept_surfs = [s for s, kp in zip(missing, keep) if kp]
-            if len(vecs):
+            if len(vecs) and self.index == "ivf":
+                for i, s in enumerate(kept_surfs):
+                    v = vecs[i]
+                    cand = self._candidates(v)
+                    if len(cand) == 0:
+                        fresh[s] = None
+                        continue
+                    sims_c = assets.entity_matrix[cand] @ v
+                    kk = min(self.k, len(cand))
+                    loc = (
+                        np.argpartition(-sims_c, kk - 1)[:kk]
+                        if kk < len(cand)
+                        else np.arange(len(cand))
+                    )
+                    top = cand[loc]
+                    order = np.lexsort((top, -sims_c[loc]))
+                    top, vals = top[order], sims_c[loc][order]
+                    best = int(top[0])
+                    fresh[s] = (
+                        best,
+                        float(vals[0]),
+                        assets.entity_classes[best],
+                        float(assets.entity_type_scores[best]),
+                        [int(t) for t in top],
+                    )
+            elif len(vecs):
                 sims = vecs @ assets.entity_matrix.T          # (U', E)
                 k = self.k
                 if k < sims.shape[1]:
@@ -134,11 +195,17 @@ def link_mentions(
     batch_size: int = 65536,
     concurrency=None,
     emit_topk: bool = False,
+    index: str = "flat",
+    n_cells: int = 64,
+    nprobe: int = 8,
 ) -> "ray.data.Dataset":
-    if assets is not None:
+    if assets is not None or index != "flat":
         return mentions.map_batches(
             LinkActor,
-            fn_constructor_kwargs={"assets": assets, "k": k, "emit_topk": emit_topk},
+            fn_constructor_kwargs={
+                "assets": assets, "k": k, "emit_topk": emit_topk,
+                "index": index, "n_cells": n_cells, "nprobe": nprobe,
+            },
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency if concurrency is not None else default_pool(),

@@ -115,6 +115,77 @@ def test_actor_pool_links_against_broadcast_ref(big_assets):
     assert len(got) == 400
 
 
+def _big_entity_assets(n_ent: int = 5000):
+    """Default vocab + a large synthetic entity index (3-word vocab surfaces,
+    random unit vectors) — the 1e6+-entity shape scaled down."""
+    import itertools
+
+    from duke_ray.functions.vector import matrix_to_fixed_list
+    from duke_ray.synth import build_vocab_table
+
+    base = build_vocab_table()
+    words = base["word"].to_pylist()
+    surfaces = [
+        " ".join(c) for c in itertools.islice(itertools.product(words, words, words), n_ent)
+    ]
+    gen = np.random.Generator(np.random.Philox(key=77))
+    # clustered index (IVF's operating regime): entities concentrate around
+    # a modest number of centers, as real entity embeddings do
+    centers = gen.standard_normal((48, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    which = gen.integers(0, len(centers), size=n_ent)
+    mat = (centers[which] + 0.25 * gen.standard_normal((n_ent, 64))).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ent = pa.table(
+        {
+            "entity_id": pa.array(np.arange(n_ent, dtype=np.int64), pa.int64()),
+            "surface": pa.array(surfaces, pa.string()),
+            "vector": matrix_to_fixed_list(mat),
+            "class": pa.array(["thing"] * n_ent, pa.string()),
+        }
+    )
+    return SideAssets.build(entities=ent)
+
+
+def test_ivf_sharded_link_agrees_with_flat(ray_session):
+    """IVF-sharded entity index (the 1e6-1e8-entity scale path): top-1 link
+    decisions agree with the exact flat index on >= 85% of probe surfaces,
+    and each probe scores only a fraction of the index."""
+    from duke_ray.stages.link import LinkActor
+    from duke_ray.synth import build_vocab_table
+
+    assets = _big_entity_assets(5000)
+    flat = LinkActor(assets=assets, k=3)
+    # probes are surface embeddings, out-of-distribution vs the entity
+    # clusters - the hardest case; nprobe=24/64 still scans ~37% of the index
+    ivf = LinkActor(assets=assets, k=3, index="ivf", n_cells=64, nprobe=24)
+
+    words = build_vocab_table()["word"].to_pylist()
+    gen = np.random.Generator(np.random.Philox(key=5))
+    probes = [
+        f"{words[int(gen.integers(len(words)))]} {words[int(gen.integers(len(words)))]}"
+        for _ in range(120)
+    ]
+    agree = total = 0
+    for s in probes:
+        f = flat._link_surface(s)
+        v = ivf._link_surface(s)
+        if f is None:
+            assert v is None
+            continue
+        total += 1
+        if v is not None and v[0] == f[0]:
+            agree += 1
+    assert total > 50
+    assert agree / total >= 0.85, f"{agree}/{total}"
+
+    # the probe really prunes: candidate set is a fraction of the index
+    keep, vecs = assets.embed_value_rows([["agg"]])
+    assert keep[0]
+    n_cand = len(ivf._candidates(vecs[0]))
+    assert 0 < n_cand < 5000 * 0.5
+
+
 def test_big_vocab_is_live_in_linker(big_assets):
     """A phrase made of extension-vocab words embeds (and therefore links)
     under the big assets while staying unlinkable under the default — proof
