@@ -283,6 +283,13 @@ def exact_dedup(
 
     def hash_ids(batch: pa.Table) -> pa.Table:
         h = fnv1a64_arrow(batch[text_col]).astype(np.int64)
+        # null text must NOT collide with "" (SQL GROUP BY keeps NULL as its
+        # own group; both hash to the bare FNV offset otherwise)
+        col = batch[text_col]
+        nulls = pa.compute.is_null(col).to_numpy(zero_copy_only=False)
+        if nulls.any():
+            h = h.copy()
+            h[nulls] = np.int64(-0x5CA1AB1E)
         t = pa.table({"h": pa.array(h, pa.int64()), "doc_id": batch[id_col].cast(pa.int64())})
         # map-side combine: min id per hash within the batch
         g = t.group_by("h").aggregate([("doc_id", "min")])

@@ -104,6 +104,23 @@ def test_cluster_pairs_components(ray_session):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 30: 30, 31: 30}
 
 
+def test_exact_dedup_null_vs_empty(ray_session):
+    """NULL text is its own dedup group, distinct from "" (SQL GROUP BY
+    semantics); all NULLs still collapse to one survivor."""
+    from duke_ray.stages.dedup import exact_dedup
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["", None, "", None, "x"], pa.string()),
+            }
+        )
+    )
+    got = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+    assert got == [0, 1, 4]  # min-"" doc, min-NULL doc, the distinct doc
+
+
 def test_cluster_pairs_random_graphs_match_union_find(ray_session):
     """Distributed min-label propagation == reference union-find on random
     graphs (mixed component shapes: chains, stars, cliques emerge from
