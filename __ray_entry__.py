@@ -218,6 +218,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["term_frequencies"] = term_frequencies
 
+    def bigram_frequencies(sf):
+        from duke_ray.stages.textstats import bigram_frequencies as bf
+
+        return bf(read_table(sf, "documents", columns=["doc_id", "text"]))
+
+    q["bigram_frequencies"] = bigram_frequencies
+
     def mentions(sf):
         from duke_ray.stages.triples import extract_mentions
         from duke_ray.sources import read_pages
@@ -605,6 +612,13 @@ GROUP BY t.doc_id
     sql["term_frequencies"] = f"""
 WITH {_TOKS_CTE}
 SELECT tok AS token, COUNT(*) AS n FROM toks GROUP BY tok
+"""
+
+    sql["bigram_frequencies"] = f"""
+WITH {_TOKS_CTE}
+SELECT t1.tok || ' ' || t2.tok AS bigram, COUNT(*) AS n
+FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+GROUP BY bigram
 """
 
     sql["mentions"] = f"""

@@ -73,6 +73,32 @@ def term_frequencies(docs: "ray.data.Dataset", text_col: str = "text") -> "ray.d
     return grouped_sum(partials, "token", {"n": "n"})
 
 
+def bigram_frequencies(docs: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """Global bigram counts — the n-gram LM / contamination-check primitive.
+
+    Vectorized rolling join over the flat token buffer (adjacent tokens of
+    the same row pair up; no per-row Python), per-batch group count, then
+    one grouped sum over bigram-cardinality keys."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = FlatTokens.from_text(batch[text_col])
+        toks = flat.tokens
+        n = len(toks)
+        if n < 2:
+            return pa.table({"bigram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        same_row = pa.array(flat.row[1:] == flat.row[:-1])
+        first = toks.slice(0, n - 1).filter(same_row)
+        second = toks.slice(1, n - 1).filter(same_row)
+        big = pc.binary_join_element_wise(first, second, " ")
+        g = pa.table({"bigram": big}).group_by("bigram").aggregate([("bigram", "count")])
+        return g.rename_columns(["bigram", "n"])
+
+    from ..state.exchange import grouped_sum
+
+    partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+    return grouped_sum(partials, "bigram", {"n": "n"})
+
+
 def quality_scores(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "ray.data.Dataset":
     """Composite document-quality score in [0, 1] — deterministic spec
     (Gopher/C4-style heuristics reduced to exact arithmetic so the DuckDB
