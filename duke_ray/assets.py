@@ -44,23 +44,29 @@ def load_word2vec_binary(path: str, limit: int | None = None) -> "pa.Table":
 
     from .functions.vector import matrix_to_fixed_list
 
+    import mmap
+
     with open(path, "rb") as f:
-        header = f.readline().split()
-        n_words, dim = int(header[0]), int(header[1])
-        if limit is not None:
-            n_words = min(n_words, limit)
-        words: list[str] = []
-        mat = np.empty((n_words, dim), dtype=np.float32)
-        for i in range(n_words):
-            wb = bytearray()
-            while True:
-                ch = f.read(1)
-                if ch in (b" ", b""):
-                    break
-                if ch != b"\n":  # some writers emit a leading newline per row
-                    wb.extend(ch)
-            words.append(wb.decode("utf-8", errors="replace"))
-            mat[i] = np.frombuffer(f.read(4 * dim), dtype="<f4")
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            nl = mm.find(b"\n")
+            n_words, dim = (int(x) for x in mm[:nl].split())
+            if limit is not None:
+                n_words = min(n_words, limit)
+            words: list[str] = []
+            mat = np.empty((n_words, dim), dtype=np.float32)
+            vec_bytes = 4 * dim
+            off = nl + 1
+            for i in range(n_words):
+                sp = mm.find(b" ", off)
+                wb = mm[off:sp]
+                if wb.startswith(b"\n"):  # some writers emit a newline per row
+                    wb = wb[1:]
+                words.append(wb.decode("utf-8", errors="replace"))
+                mat[i] = np.frombuffer(mm, dtype="<f4", count=dim, offset=sp + 1)
+                off = sp + 1 + vec_bytes
+        finally:
+            mm.close()
     return pa.table({"word": pa.array(words, pa.string()), "vector": matrix_to_fixed_list(mat)})
 
 
@@ -71,6 +77,8 @@ def _vector_dim(col) -> int:
     t = col.type
     if pa.types.is_fixed_size_list(t):
         return t.list_size
+    if len(col) == 0:
+        return 0
     first = col[0].as_py()
     return len(first) if first is not None else 0
 

@@ -26,6 +26,8 @@ def fixed_list_to_matrix(col: pa.Array | pa.ChunkedArray, dim: int) -> np.ndarra
     return vals.reshape(len(col), dim)
 
 
-def matrix_to_fixed_list(mat: np.ndarray) -> pa.FixedSizeListArray:
-    mat = np.ascontiguousarray(mat, dtype=np.float32)
-    return pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel(), pa.float32()), mat.shape[1])
+def matrix_to_fixed_list(mat: np.ndarray, dtype=np.float32) -> pa.FixedSizeListArray:
+    """(n, d) matrix -> fixed_size_list array, no per-row Python."""
+    pa_type = pa.float32() if dtype == np.float32 else pa.float64()
+    mat = np.ascontiguousarray(mat, dtype=dtype)
+    return pa.FixedSizeListArray.from_arrays(pa.array(mat.ravel(), pa_type), mat.shape[1])

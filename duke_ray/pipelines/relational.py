@@ -577,7 +577,9 @@ def clicks_asof_purchases(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    tagged = ev.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+    # materialized: the tagged rows feed both the carry aggregate below and
+    # the final per-bucket merge — one scan+tag of events, not two
+    tagged = ev.map_batches(tag, batch_format="pyarrow", batch_size=65536).materialize()
 
     # Per-bucket latest purchase: per-batch vectorized argmax partials, then
     # a driver-side reduce over <= n_buckets rows (bounded metadata).

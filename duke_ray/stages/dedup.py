@@ -121,11 +121,13 @@ class MinHashStage:
     """documents batch -> (doc_id, band, band_hash) LSH bucket rows."""
 
     def __init__(self, n_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 7,
-                 id_col: str = "doc_id", text_col: str = "text"):
+                 id_col: str = "doc_id", text_col: str = "text", emit_sig: bool = True):
         assert n_perm % bands == 0
         self.n_perm, self.bands, self.k, self.seed = n_perm, bands, k, seed
         self.rows_per_band = n_perm // bands
         self.id_col, self.text_col = id_col, text_col
+        self.emit_sig = emit_sig  # False: candidates-only caller, skip the
+        # 32x-tiled signature column entirely instead of building+dropping it
         self.a, self.b = _minhash_params(n_perm, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -146,21 +148,20 @@ class MinHashStage:
             [np.full(n, bi, dtype=np.int32) for bi in range(self.bands)]
         )
         doc = np.tile(ids, self.bands) if n else ids
-        # carry the full signature per (band, doc) for verification downstream
-        sig_list = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.tile(sig, (self.bands, 1)).ravel().astype(np.uint64), pa.uint64()),
-            self.n_perm,
-        ) if n else pa.FixedSizeListArray.from_arrays(pa.array([], pa.uint64()), self.n_perm)
         bh_i64 = band_hash.astype(np.int64).view(np.uint64).astype(np.int64)
-        return pa.table(
-            {
-                "meta": pa.array(_meta_key(band_id, bh_i64), pa.int32()),
-                "band": pa.array(band_id, pa.int32()),
-                "band_hash": pa.array(bh_i64, pa.int64()),
-                "doc_id": pa.array(doc, pa.int64()),
-                "sig": sig_list,
-            }
-        )
+        cols = {
+            "meta": pa.array(_meta_key(band_id, bh_i64), pa.int32()),
+            "band": pa.array(band_id, pa.int32()),
+            "band_hash": pa.array(bh_i64, pa.int64()),
+            "doc_id": pa.array(doc, pa.int64()),
+        }
+        if self.emit_sig:
+            # carry the full signature per (band, doc) for verification downstream
+            cols["sig"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(np.tile(sig, (self.bands, 1)).ravel().astype(np.uint64), pa.uint64()),
+                self.n_perm,
+            ) if n else pa.FixedSizeListArray.from_arrays(pa.array([], pa.uint64()), self.n_perm)
+        return pa.table(cols)
 
 
 N_META_GROUPS = 256  # coarse co-location groups: per-call overhead amortizes
@@ -516,11 +517,9 @@ def ngram_jaccard_pairs(
     miss probability < 1e-6 at threshold 0.6)."""
     from ..state.exchange import partitioned_reduce
 
-    mh = MinHashStage(n_perm=64, bands=32, k=k, id_col=id_col, text_col=text_col)
+    mh = MinHashStage(n_perm=64, bands=32, k=k, id_col=id_col, text_col=text_col, emit_sig=False)
 
-    buckets = docs.map_batches(
-        lambda b: mh(b).drop_columns(["sig"]), batch_format="pyarrow", batch_size=4096
-    )
+    buckets = docs.map_batches(mh, batch_format="pyarrow", batch_size=4096)
 
     def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)})
@@ -551,11 +550,14 @@ def ngram_jaccard_pairs(
         cand, ["doc_a", "doc_b"], lambda t: t.group_by(["doc_a", "doc_b"]).aggregate([])
     )
 
+    # materialized: the set dataset feeds BOTH exchanges — without the
+    # snapshot the tokenize+shingle+dedup stage would execute twice (and
+    # the object store spills it if large, so this stays memory-bounded)
     sets = docs.map_batches(
         lambda b: _doc_shingle_sets(b, k, id_col, text_col),
         batch_format="pyarrow",
         batch_size=2048,
-    )
+    ).materialize()
 
     def _set_rows(b: pa.Table) -> pa.Table:
         return pa.table(

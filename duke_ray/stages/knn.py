@@ -46,11 +46,10 @@ def _to_matrix(col, dim: int | None = None) -> np.ndarray:
 
 
 def _matrix_to_fsl(mat: np.ndarray) -> pa.FixedSizeListArray:
-    """(n, d) matrix -> fixed_size_list<double>[d] without per-row Python."""
-    return pa.FixedSizeListArray.from_arrays(
-        pa.array(np.ascontiguousarray(mat, dtype=np.float64).ravel(), type=pa.float64()),
-        mat.shape[1] if mat.ndim == 2 else 0,
-    )
+    """(n, d) -> fixed_size_list<double>[d] (shared helper, float64 flavor)."""
+    from ..functions.vector import matrix_to_fixed_list
+
+    return matrix_to_fixed_list(mat, dtype=np.float64)
 
 
 class BruteForceTopK:

@@ -76,7 +76,10 @@ class LinkActor:
         """Link surfaces, ONE (U', d) @ (d, E) matmul for all unmemoized
         uniques of the batch (not a matvec per surface)."""
         memo = self._memo
-        missing = [s for s in surfaces if s not in memo]
+        # capture memoized results BEFORE any cap-triggered memo.clear() —
+        # clearing must never lose answers for THIS batch's surfaces
+        res: dict[str, tuple | None] = {s: memo[s] for s in surfaces if s in memo}
+        missing = list(dict.fromkeys(s for s in surfaces if s not in res))
         if missing:
             assets = self.assets
             keep, vecs = assets.embed_value_rows([normalize_text(s) for s in missing])
@@ -130,7 +133,8 @@ class LinkActor:
             if len(memo) + len(fresh) > _MEMO_CAP:
                 memo.clear()
             memo.update(fresh)
-        return [memo[s] for s in surfaces]
+            res.update(fresh)
+        return [res[s] for s in surfaces]
 
     def _link_surface(self, surface: str):
         return self._link_many([surface])[0]

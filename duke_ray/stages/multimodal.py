@@ -106,14 +106,25 @@ class DecodeFeaturesActor:
         import hashlib
 
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([self._fake_features(p) for p in payloads]) if payloads else np.empty((0, self.feature_dim), np.float32)
+        # null payloads -> null stats/digest (matches SQL md5(NULL) IS NULL)
+        # and a zero feature vector
+        feats = (
+            np.stack(
+                [self._fake_features(p) if p is not None else np.zeros(self.feature_dim, np.float32) for p in payloads]
+            )
+            if payloads
+            else np.empty((0, self.feature_dim), np.float32)
+        )
         return pa.table(
             {
                 "media_id": batch["media_id"],
                 "mime": batch["mime"],
-                "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
+                "n_bytes": pa.array(
+                    [len(p) if p is not None else None for p in payloads], pa.int64()
+                ),
                 "payload_md5": pa.array(
-                    [hashlib.md5(p).hexdigest() for p in payloads], pa.string()
+                    [hashlib.md5(p).hexdigest() if p is not None else None for p in payloads],
+                    pa.string(),
                 ),
                 "features": pa.FixedSizeListArray.from_arrays(
                     pa.array(feats.ravel(), pa.float32()), self.feature_dim
@@ -154,7 +165,9 @@ class ResizeActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = []
         for payload in batch["payload"].to_pylist():
-            if len(payload) >= self.out_bytes:
+            if payload is None:
+                out.append(None)
+            elif len(payload) >= self.out_bytes:
                 out.append(payload[: self.out_bytes])
             else:  # tile deterministically up to size
                 reps = self.out_bytes // max(1, len(payload)) + 1
@@ -196,6 +209,8 @@ class FrameSampleActor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, frames, blobs = [], [], []
         for mid, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            if payload is None:
+                continue  # no decodable frames; SQL series over NULL is empty
             n_frames = max(1, len(payload) // 256)  # fake: 256 bytes/frame
             for f in range(0, n_frames, self.every_n):
                 ids.append(mid)

@@ -33,11 +33,19 @@ from ..text import fnv1a64_arrow
 
 def _meta_of(batch: pa.Table, key_cols: list[str], n_meta: int) -> np.ndarray:
     # Fast path: all-integer keys mix without a string cast (splitmix-style).
+    # Nulls are filled with a fixed sentinel BEFORE to_numpy: a null in the
+    # column otherwise promotes to_numpy to float64 and the same key value
+    # hashes differently in null-bearing vs null-free batches (scattering a
+    # key across partitions). The sentinel can collide with a real value —
+    # harmless, collisions only co-locate extra keys in a partition.
     if all(pa.types.is_integer(batch[c].type) for c in key_cols):
         h = np.zeros(len(batch), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for c in key_cols:
-                v = batch[c].cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+                arr = batch[c].cast(pa.int64())
+                if arr.null_count:
+                    arr = pa.compute.fill_null(arr, -0x2545F4914F6CDD1D)
+                v = arr.to_numpy(zero_copy_only=False).view(np.uint64)
                 h = (h ^ v) * np.uint64(0x9E3779B97F4A7C15)
                 h ^= h >> np.uint64(29)
                 h *= np.uint64(0xBF58476D1CE4E5B9)
