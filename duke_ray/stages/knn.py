@@ -122,9 +122,12 @@ def cosine_pairs_exact(
     """EXACT cosine near-neighbor pairs (vec_a < vec_b, cosine >= threshold)
     — the brute-force baseline: the unit-normed corpus matrix is broadcast
     once (``ray.put``) and each batch does one (B, d) @ (d, N) matmul,
-    emitting only its above-threshold pairs. O(N^2) compute by definition;
-    ``lsh_cosine_pairs`` / ``ivf_topk`` are the scale paths. Output carries
-    ids only (no float column) so the driver value-hash is rounding-proof."""
+    emitting only its above-threshold pairs. O(N^2) compute AND an O(N*d)
+    driver materialization of the index side — both by definition of the
+    exact baseline (the broadcast index must fit one memory);
+    ``lsh_cosine_pairs`` / ``ivf_topk`` are the scale paths that drop both.
+    Output carries ids only (no float column) so the driver value-hash is
+    rounding-proof."""
     import ray
 
     mat_tbl = vectors.select_columns([id_col, vec_col]).to_pandas()
