@@ -72,27 +72,18 @@ class TripleExtractor:
         self.pred_arr = pa.array(sorted(assets.pred_words), pa.string())
         self.emit = emit
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        text = batch["text"]
-        if isinstance(text, pa.ChunkedArray):
-            text = text.combine_chunks()
-        flat = FlatTokens.from_text(text)
-        ent_idx, is_mention, is_pred, prev, nxt = _mention_scan(flat, self.surface_arr, self.pred_arr)
-        url = batch["url"]
-        if isinstance(url, pa.ChunkedArray):
-            url = url.combine_chunks()
+    def _mentions_table(self, flat: FlatTokens, url, ent_idx, is_mention) -> pa.Table:
+        sel = np.flatnonzero(is_mention)
+        return pa.table(
+            {
+                "url": url.take(pa.array(flat.row[sel])),
+                "pos": pa.array(flat.pos[sel].astype(np.int32), pa.int32()),
+                "surface": flat.tokens.take(pa.array(sel)),
+                "entity_hint": pa.array(self.entity_ids[ent_idx[sel]], pa.int64()),
+            }
+        )
 
-        if self.emit == "mentions":
-            sel = np.flatnonzero(is_mention)
-            return pa.table(
-                {
-                    "url": url.take(pa.array(flat.row[sel])),
-                    "pos": pa.array(flat.pos[sel].astype(np.int32), pa.int32()),
-                    "surface": flat.tokens.take(pa.array(sel)),
-                    "entity_hint": pa.array(self.entity_ids[ent_idx[sel]], pa.int64()),
-                }
-            )
-
+    def _triples_table(self, flat: FlatTokens, url, is_pred, prev, nxt) -> pa.Table:
         p = np.flatnonzero(is_pred)
         if p.size == 0:
             return pa.table(
@@ -123,6 +114,52 @@ class TripleExtractor:
             }
         )
 
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat = FlatTokens.from_text(text)
+        ent_idx, is_mention, is_pred, prev, nxt = _mention_scan(flat, self.surface_arr, self.pred_arr)
+        url = batch["url"]
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+
+        if self.emit == "mentions":
+            return self._mentions_table(flat, url, ent_idx, is_mention)
+        if self.emit == "triples":
+            return self._triples_table(flat, url, is_pred, prev, nxt)
+        # emit == "both": ONE tokenize+scan of the text emits a tagged union
+        # of mention and triple rows (VERDICT r2 #1 — the two KG branches
+        # previously each re-ran FlatTokens.from_text + _mention_scan over
+        # the same checkpointed corpus).
+        m = self._mentions_table(flat, url, ent_idx, is_mention)
+        t = self._triples_table(flat, url, is_pred, prev, nxt)
+        um = pa.table(
+            {
+                "kind": pa.array(["m"] * m.num_rows, pa.string()),
+                "url": m["url"],
+                "pos": m["pos"],
+                "surface": m["surface"],
+                "entity_hint": m["entity_hint"],
+                "subj": pa.nulls(m.num_rows, pa.string()),
+                "pred": pa.nulls(m.num_rows, pa.string()),
+                "obj": pa.nulls(m.num_rows, pa.string()),
+            }
+        )
+        ut = pa.table(
+            {
+                "kind": pa.array(["t"] * t.num_rows, pa.string()),
+                "url": t["url"],
+                "pos": t["pred_pos"],
+                "surface": pa.nulls(t.num_rows, pa.string()),
+                "entity_hint": pa.nulls(t.num_rows, pa.int64()),
+                "subj": t["subj"],
+                "pred": t["pred"],
+                "obj": t["obj"],
+            }
+        )
+        return pa.concat_tables([um, ut])
+
 
 # Process-local extractor cache: the gazetteer/lexicon state is tiny, so the
 # stage runs as STATELESS TASKS (elastic, no actor-pool ramp-up — an
@@ -145,6 +182,31 @@ def _mentions_batch(batch: pa.Table) -> pa.Table:
 
 def _triples_batch(batch: pa.Table) -> pa.Table:
     return _extract_batch(batch, "triples")
+
+
+def _both_batch(batch: pa.Table) -> pa.Table:
+    return _extract_batch(batch, "both")
+
+
+def extract_mentions_and_triples(
+    extracted: "ray.data.Dataset",
+    batch_size: int = 4096,
+    concurrency=None,
+    assets: SideAssets | None = None,
+) -> "ray.data.Dataset":
+    """Single-pass extraction: one tokenize + mention scan per page emits a
+    tagged union (``kind`` = "m" mention / "t" triple). Consumers split by
+    ``kind`` (the KG pipeline checkpoints this partitioned by kind so each
+    branch re-reads only its own rows + columns)."""
+    if assets is not None:
+        return extracted.map_batches(
+            TripleExtractor,
+            fn_constructor_kwargs={"assets": assets, "emit": "both"},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency if concurrency is not None else default_pool(),
+        )
+    return extracted.map_batches(_both_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 def extract_mentions(
