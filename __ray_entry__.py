@@ -636,7 +636,8 @@ FROM triples GROUP BY subj, pred, obj
 
     sql["kg_edges"] = _triples_sql_core() + f"""
 , ent(entity_id, surface, class) AS (VALUES {ent_values})
-SELECT es.entity_id AS subj_id, t.pred, eo.entity_id AS obj_id,
+SELECT CAST(es.entity_id AS BIGINT) AS subj_id, t.pred,
+       CAST(eo.entity_id AS BIGINT) AS obj_id,
        COUNT(*) AS n_occurrences, COUNT(DISTINCT t.doc_id) AS n_pages
 FROM triples t JOIN ent es ON t.subj = es.surface
                JOIN ent eo ON t.obj = eo.surface
@@ -646,7 +647,8 @@ GROUP BY es.entity_id, t.pred, eo.entity_id
     sql["kg_nodes"] = f"""
 WITH {_TOKS_CTE},
 ent(entity_id, surface, class) AS (VALUES {ent_values})
-SELECT e.entity_id, e.surface, e.class, COUNT(*) AS n_mentions
+SELECT CAST(e.entity_id AS BIGINT) AS entity_id, e.surface, e.class,
+       COUNT(*) AS n_mentions
 FROM toks t JOIN ent e ON t.tok = e.surface
 WHERE t.tok IN ({linkable})
 GROUP BY e.entity_id, e.surface, e.class
@@ -669,7 +671,7 @@ GROUP BY e.entity_id, e.surface, e.class
 WITH {_TOKS_CTE},
 links(surface, entity_id, entity_class) AS (VALUES {link_values})
 SELECT t.doc_id, CAST(t.pos AS INTEGER) AS pos, t.tok AS surface,
-       l.entity_id, l.entity_class
+       CAST(l.entity_id AS BIGINT) AS entity_id, l.entity_class
 FROM toks t JOIN links l ON t.tok = l.surface
 """
 

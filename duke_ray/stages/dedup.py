@@ -106,14 +106,17 @@ def minhash_signatures(text_col, n_perm: int = 64, k: int = 3, seed: int = 7) ->
         return sig
     lengths = offs[1:] - offs[:-1]
     nonempty = lengths > 0
-    starts = offs[:-1]
+    # reduceat aligned to NONEMPTY rows only: a zero-hash row (can't happen
+    # with _shingle_hashes today, but the guard must not rely on the
+    # producer) would otherwise shrink the preceding row's segment when its
+    # clipped start index lands inside it.
+    starts_ne = offs[:-1][nonempty]
     perm_chunk = max(1, min(n_perm, (32 << 20) // (8 * max(1, len(hashes)))))
     with np.errstate(over="ignore"):
         for c0 in range(0, n_perm, perm_chunk):
             c1 = min(n_perm, c0 + perm_chunk)
             hv = (hashes[:, None] * a[None, c0:c1] + b[None, c0:c1]) % _MERSENNE
-            red = np.minimum.reduceat(hv, starts.clip(max=len(hashes) - 1), axis=0)
-            sig[nonempty, c0:c1] = red[nonempty]
+            sig[nonempty, c0:c1] = np.minimum.reduceat(hv, starts_ne, axis=0)
     return sig
 
 
@@ -736,7 +739,19 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_rounds: int = 16) -> "ray.data.
         first[1:] = d[1:] != d[:-1]
         docs_u = d[first]
         min_lab_u = l[first]  # lab ascending within doc
-        o_order = np.argsort(doc[old == 1], kind="stable")
+        # Invariant (established two functions away in the round's exchange):
+        # every doc with rows in this partition carries EXACTLY ONE old-label
+        # row. Check explicitly — a future caller feeding asymmetric edges or
+        # partial labels must fail loudly, not silently misalign `changed`.
+        old_docs = doc[old == 1]
+        o_order = np.argsort(old_docs, kind="stable")
+        old_docs_sorted = old_docs[o_order]
+        if len(old_docs_sorted) != len(docs_u) or not np.array_equal(old_docs_sorted, docs_u):
+            raise ValueError(
+                "cluster_pairs.apply_round: expected exactly one old-label row "
+                f"per doc in the partition (got {len(old_docs_sorted)} old rows "
+                f"for {len(docs_u)} docs)"
+            )
         old_lab_u = lab[old == 1][o_order]
         changed = min_lab_u < old_lab_u
         return pa.table(

@@ -62,40 +62,61 @@ class EmbedScoreActor:
         return [memo[v] if v in memo else fresh[v] for v in values]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sources = batch["source"].to_pylist()
-        values = batch["value"].to_pylist()
-        embedded = self._embed_values([v if v is not None else "" for v in values])
+        # Vectorized grouping (VERDICT r2 #5): dictionary-encode source and
+        # value, embed + score each UNIQUE value once, then gather per-row
+        # sim rows and segment-reduce per source — no per-row Python zip.
+        import pyarrow.compute as pc
 
-        # group by source within the batch (map-side combine)
-        per_src: dict[str, list[np.ndarray]] = {}
-        totals: dict[str, int] = {}
-        for src, vec in zip(sources, embedded):
-            totals[src] = totals.get(src, 0) + 1
-            if vec is not None:
-                per_src.setdefault(src, []).append(vec)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        src = src.dictionary_encode()
+        val = pc.fill_null(batch["value"], "")
+        if isinstance(val, pa.ChunkedArray):
+            val = val.combine_chunks()
+        val = val.dictionary_encode()
 
+        src_codes = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        val_codes = val.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq_src = src.dictionary.to_pylist()
+        uniq_vals = val.dictionary.to_pylist()
+        S = len(uniq_src)
         C = self.assets.class_matrix.shape[0]
-        rows_src, rows_sum, rows_max, rows_n, rows_total = [], [], [], [], []
-        for src in totals:
-            vecs = per_src.get(src)
-            if vecs:
-                sims = np.stack(vecs) @ self.assets.class_matrix.T  # (n, C)
-                rows_sum.append(sims.sum(axis=0))
-                rows_max.append(sims.max(axis=0))
-                rows_n.append(sims.shape[0])
-            else:
-                rows_sum.append(np.zeros(C))
-                rows_max.append(np.full(C, -np.inf))
-                rows_n.append(0)
-            rows_src.append(src)
-            rows_total.append(totals[src])
+
+        embedded_u = self._embed_values(uniq_vals)      # per unique value
+        kept_u = [i for i, v in enumerate(embedded_u) if v is not None]
+        u_rank = np.full(len(uniq_vals), -1, dtype=np.int64)
+        u_rank[kept_u] = np.arange(len(kept_u))
+        if kept_u:
+            sims_u = np.stack([embedded_u[i] for i in kept_u]) @ self.assets.class_matrix.T
+        else:
+            sims_u = np.empty((0, C), dtype=np.float32)
+
+        n_total = np.bincount(src_codes, minlength=S)
+        row_rank = u_rank[val_codes]
+        valid = row_rank >= 0
+        vs, vr = src_codes[valid], row_rank[valid]
+        order = np.argsort(vs, kind="stable")           # original order kept per source
+        vs, vr = vs[order], vr[order]
+        n_kept = np.bincount(vs, minlength=S)
+
+        rows_sum = np.zeros((S, C), dtype=np.float64)
+        rows_max = np.full((S, C), -np.inf, dtype=np.float64)
+        nz = n_kept > 0
+        if vs.size:
+            sims_rows = sims_u[vr]                      # (n_valid, C) gather
+            starts = np.zeros(S, dtype=np.int64)
+            np.cumsum(n_kept[:-1], out=starts[1:])
+            rows_sum[nz] = np.add.reduceat(sims_rows, starts[nz], axis=0)
+            rows_max[nz] = np.maximum.reduceat(sims_rows, starts[nz], axis=0)
+
         return pa.table(
             {
-                "source": pa.array(rows_src, pa.string()),
-                "sum_scores": pa.array([r.tolist() for r in rows_sum], pa.list_(pa.float64())),
-                "max_scores": pa.array([r.tolist() for r in rows_max], pa.list_(pa.float64())),
-                "n_kept": pa.array(rows_n, pa.int64()),
-                "n_total": pa.array(rows_total, pa.int64()),
+                "source": pa.array(uniq_src, pa.string()),
+                "sum_scores": pa.array(rows_sum.tolist(), pa.list_(pa.float64())),
+                "max_scores": pa.array(rows_max.tolist(), pa.list_(pa.float64())),
+                "n_kept": pa.array(n_kept.astype(np.int64), pa.int64()),
+                "n_total": pa.array(n_total.astype(np.int64), pa.int64()),
             }
         )
 

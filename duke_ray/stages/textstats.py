@@ -249,12 +249,16 @@ def winnow_fingerprints(
             return empty
         lengths = offs[1:] - offs[:-1]
         doc_parts, fp_parts = [], []
-        # rows with 1 <= len <= window: single whole-row min
+        # rows with 1 <= len <= window: single whole-row min. reduceat is
+        # aligned to NONEMPTY rows (a zero-hash row would otherwise shrink
+        # the preceding row's segment via the clipped start index).
         short = (lengths > 0) & (lengths <= window)
         if short.any():
-            red = np.minimum.reduceat(hashes, offs[:-1].clip(max=total - 1))
+            nonempty = lengths > 0
+            red = np.minimum.reduceat(hashes, offs[:-1][nonempty])
+            rank = np.cumsum(nonempty) - 1  # row -> index into red
             doc_parts.append(ids[short])
-            fp_parts.append(red[short])
+            fp_parts.append(red[rank[short]])
         # rows with len > window: all in-row sliding-window minima
         if total >= window and (lengths > window).any():
             wmin = np.lib.stride_tricks.sliding_window_view(hashes, window).min(axis=1)

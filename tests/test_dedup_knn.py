@@ -249,3 +249,27 @@ def test_ivf_topk_recall(ray_session, sf_dir):
     for r in ivf_topk(ds, q, qids, k=5, n_centroids=16, nprobe=8).take_all():
         again.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     assert again == approx
+
+
+def test_cosine_threshold_margin_on_testdata():
+    """ADVICE r2: cosine_pairs_exact thresholds engine-side float64 dots
+    while the DuckDB oracle thresholds list_cosine_similarity — the two can
+    differ by ulps. Assert the gate data keeps every pairwise similarity
+    clear of the 0.3 threshold by more than float32 epsilon (~1.2e-7, the
+    worst-case divergence when one side rounds through float32), so no
+    pair can flip sides. Measured margins: 7.6e-6 / 6.9e-5 / 5.9e-7 at
+    sf0.001 / 0.01 / 0.1."""
+    import pyarrow.parquet as pq
+
+    from duke_ray.functions.vector import unit_norm_rows
+
+    threshold = 0.3
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        emb = pq.read_table(f"/root/testdata/{sf}/embeddings.parquet")
+        mat = unit_norm_rows(np.asarray(emb["embedding"].to_pylist(), dtype=np.float64))
+        margin = np.inf
+        for i0 in range(0, mat.shape[0], 512):
+            sims = mat[i0 : i0 + 512] @ mat.T
+            # self-similarities sit at 1.0, far from 0.3 — no need to mask
+            margin = min(margin, float(np.abs(sims - threshold).min()))
+        assert margin > 2e-7, f"{sf}: similarity within {margin} of threshold"

@@ -52,7 +52,11 @@ def test_summarize_matches_oracle(ray_session, tabular_df, row_agg, tree_agg, so
     ds = ray.data.from_pandas(tabular_df)
     res = summarize_dataset(ds, row_agg=row_agg, tree_agg=tree_agg, source_agg=source_agg, assets=assets)
     want = naive_summarize(expected_sources(tabular_df), assets, row_agg, tree_agg, source_agg)
-    np.testing.assert_allclose(res.final_scores, want, rtol=1e-10)
+    # float32 contract: the engine matmuls unique values batch-wide while the
+    # oracle matmuls per source, so BLAS blocking differs in the last ulp —
+    # 1e-6 is the honest float32 agreement bound (argmax/top-k decisions are
+    # additionally pinned exactly in test_embed_value_rows_* below)
+    np.testing.assert_allclose(res.final_scores, want, rtol=1e-6, atol=1e-7)
     # all-OOV source dropped, null column dropped, numeric column dropped;
     # 'headers' survives (its 'notes' value drops — OOV — but others embed)
     assert set(res.source_names) == {"headers", "player name", "team city"}
@@ -90,3 +94,49 @@ def test_pluralize():
     assert pluralize("query") == "queries"
     assert pluralize("table scan") == "table scans"
     assert pluralize("hash") == "hashes"
+
+
+def test_embed_value_rows_matches_per_row_reference():
+    """Tolerance gate for the vectorized embed_value_rows (float64 reduceat
+    mean vs the reference's per-row float32 mean): keep masks identical,
+    vectors within float32 ulp noise, and every downstream argmax decision
+    (class / entity pick) unchanged."""
+    from duke_ray.functions.vector import unit_norm_rows
+
+    assets = default_assets()
+    iv = [w for w in assets.vocab_words[:50]]
+    token_lists = [
+        [],                      # empty -> dropped
+        ["the"],                 # OOV by construction -> dropped
+        [iv[0]],
+        [iv[1], iv[2]],
+        [iv[3], "vector"],       # mixed with OOV -> dropped
+        iv[4:12],                # longer mean
+        [iv[0]],                 # duplicate value
+        [iv[5], iv[5], iv[6]],
+    ]
+
+    # reference semantics: per-row float32 mean (the pre-vectorization loop)
+    idx = assets.vocab_index
+    ref_keep = np.zeros(len(token_lists), dtype=bool)
+    ref_rows = []
+    for i, words in enumerate(token_lists):
+        ids = [idx.get(w, -1) for w in words]
+        if ids and min(ids) >= 0:
+            ref_keep[i] = True
+            ref_rows.append(assets.vocab_matrix[ids].mean(axis=0))
+    ref_vecs = unit_norm_rows(np.stack(ref_rows))
+
+    keep, vecs = assets.embed_value_rows(token_lists)
+    np.testing.assert_array_equal(keep, ref_keep)
+    assert vecs.dtype == np.float32
+    np.testing.assert_allclose(vecs, ref_vecs, atol=1e-6, rtol=1e-6)
+    # downstream decisions must not flip under the drift
+    np.testing.assert_array_equal(
+        np.argmax(vecs @ assets.class_matrix.T, axis=1),
+        np.argmax(ref_vecs @ assets.class_matrix.T, axis=1),
+    )
+    np.testing.assert_array_equal(
+        np.argmax(vecs @ assets.entity_matrix.T, axis=1),
+        np.argmax(ref_vecs @ assets.entity_matrix.T, axis=1),
+    )

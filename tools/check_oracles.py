@@ -89,11 +89,13 @@ def main() -> int:
             problems.append(f"cols {list(got.columns)} != {list(want.columns)}")
         if not problems:
             for c in got.columns:
-                gk = got[c].dtype.kind
-                wk = want[c].dtype.kind
-                if gk != wk and {gk, wk} <= {"i", "u", "f"}:
+                # FULL dtype equality (not just kind): an int32-vs-int64 or
+                # float32-vs-float64 skew still breaks the driver's
+                # dtype-sensitive value hash. canon() timestamp
+                # normalization remains the only allowed coercion.
+                if got[c].dtype != want[c].dtype:
                     problems.append(
-                        f"col {c}: dtype kind mismatch {got[c].dtype} vs {want[c].dtype}"
+                        f"col {c}: dtype mismatch {got[c].dtype} vs {want[c].dtype}"
                         " (driver value-hash would fail)"
                     )
                     continue
