@@ -31,6 +31,14 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 
+def _require(cond: bool, msg: str) -> None:
+    """In-query invariant (VERDICT r2 #6): rows-only queries (no SQL oracle)
+    self-check their semantics; a violation fails the query — and therefore
+    the driver gate — loudly instead of passing on row count alone."""
+    if not cond:
+        raise ValueError(f"in-query invariant violated: {msg}")
+
+
 def _ensure_workers_can_import() -> None:
     """Ray workers resolve ``duke_ray`` via the driver's cwd / PYTHONPATH at
     raylet start — NOT via driver-side sys.path edits. If a probe task can't
@@ -256,13 +264,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["canonical_triples"] = canonical_triples
 
     def canonical_triples_approx(sf):
-        """HLL-sketched page counts (rows-only; approximate by design)."""
+        """HLL-sketched page counts (rows-only; approximate by design).
+        Invariants: triple keys + exact occurrence counts match the exact
+        canonicalization, and every HLL page estimate is within 10% (p=12
+        => ~1.6% expected error)."""
         from duke_ray.sources import read_pages
-        from duke_ray.stages.canonicalize import canonicalize_triples_approx
+        from duke_ray.stages.canonicalize import canonicalize_triples, canonicalize_triples_approx
         from duke_ray.stages.extract import extract_text
         from duke_ray.stages.triples import extract_triples
 
-        return canonicalize_triples_approx(extract_triples(extract_text(read_pages(sf))))
+        approx = canonicalize_triples_approx(
+            extract_triples(extract_text(read_pages(sf)))
+        ).materialize()
+        a = approx.to_pandas()
+        e = canonicalize_triples(
+            extract_triples(extract_text(read_pages(sf))), n_salt=16
+        ).to_pandas()
+        m = a.merge(e, on=["subj", "pred", "obj"], how="outer", indicator=True,
+                    suffixes=("_a", "_e"))
+        _require((m["_merge"] == "both").all(), "approx/exact triple key sets differ")
+        _require((m["n_occurrences_a"] == m["n_occurrences_e"]).all(),
+                 "occurrence counts must be exact in the approx variant")
+        abs_err = (m["n_pages_est"] - m["n_pages"]).abs()
+        rel_err = abs_err / m["n_pages"]
+        # small counts are integer-granular (est 7 vs exact 6 is fine);
+        # large counts must track the ~1.6% HLL error with headroom
+        ok = (abs_err <= 2) | (rel_err <= 0.10)
+        _require(bool(ok.all()),
+                 f"HLL page estimate off by {float(rel_err[~ok].max()):.3f} (>10% and >2 pages)")
+        return approx
 
     q["canonical_triples_approx"] = canonical_triples_approx
 
@@ -333,17 +363,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return docs.union(docs.map_batches(variants, batch_format="pyarrow"))
 
+    def _planted_fraction(df, a_col: str, b_col: str, sf: str) -> float:
+        """Fraction of corpus docs whose planted variant (id + 10M) was
+        recovered as a pair."""
+        from duke_ray.sources import documents_row_count
+
+        planted = int(((df[b_col] - df[a_col]) == 10_000_000).sum())
+        return planted / max(documents_row_count(sf), 1)
+
     def near_dup_minhash(sf):
+        """Invariants: est_jaccard in [0,1], a<b, and >=90% of the planted
+        (doc, doc+10M) variants recovered (measured 99.4% at sf0.01; only
+        very short docs legitimately fall under the 0.6 threshold)."""
         from duke_ray.stages.dedup import minhash_near_dup_pairs
 
-        return minhash_near_dup_pairs(_perturbed_corpus(sf), threshold=0.6)
+        ds = minhash_near_dup_pairs(_perturbed_corpus(sf), threshold=0.6).materialize()
+        df = ds.to_pandas()
+        _require(df["est_jaccard"].between(0.0, 1.0).all(), "est_jaccard outside [0,1]")
+        _require((df["doc_a"] < df["doc_b"]).all(), "pair not canonical (a<b)")
+        frac = _planted_fraction(df, "doc_a", "doc_b", sf)
+        _require(frac >= 0.9, f"planted-pair recall {frac:.3f} < 0.9")
+        return ds
 
     q["near_dup_minhash"] = near_dup_minhash
 
     def near_dup_simhash(sf):
+        """Invariants: hamming <= max, a<b, and >=40% planted recall
+        (simhash at max_hamming=3 is deliberately the stricter/blunter
+        sketch; measured 54.6% at sf0.01)."""
         from duke_ray.stages.dedup import simhash_near_dup_pairs
 
-        return simhash_near_dup_pairs(_perturbed_corpus(sf), max_hamming=3)
+        ds = simhash_near_dup_pairs(_perturbed_corpus(sf), max_hamming=3).materialize()
+        df = ds.to_pandas()
+        _require(df["hamming"].between(0, 3).all(), "hamming outside [0, max_hamming]")
+        _require((df["doc_a"] < df["doc_b"]).all(), "pair not canonical (a<b)")
+        frac = _planted_fraction(df, "doc_a", "doc_b", sf)
+        _require(frac >= 0.4, f"planted-pair recall {frac:.3f} < 0.4")
+        return ds
 
     q["near_dup_simhash"] = near_dup_simhash
 
@@ -367,11 +423,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def dedup_clusters_minhash(sf):
         """Same clustering over MinHash-estimated pairs (rows-only: the
-        estimate is not SQL-expressible)."""
+        estimate is not SQL-expressible). Invariants: min-label property
+        (cluster_id <= doc_id, and every cluster_id is itself a member
+        doc), and >=90% of planted variants co-clustered with their
+        original (measured 99.4% at sf0.01)."""
+        from duke_ray.sources import documents_row_count
         from duke_ray.stages.dedup import cluster_pairs, minhash_near_dup_pairs
 
         pairs = minhash_near_dup_pairs(_perturbed_corpus(sf), threshold=0.6)
-        return cluster_pairs(pairs)
+        ds = cluster_pairs(pairs).materialize()
+        df = ds.to_pandas()
+        _require((df["cluster_id"] <= df["doc_id"]).all(), "cluster_id > member doc_id")
+        _require(set(df["cluster_id"]) <= set(df["doc_id"]),
+                 "cluster label is not a member doc")
+        lab = dict(zip(df["doc_id"], df["cluster_id"]))
+        n_docs = documents_row_count(sf)
+        co = sum(
+            1
+            for d, c in lab.items()
+            if d < 10_000_000 and lab.get(d + 10_000_000) == c
+        )
+        _require(co >= 0.9 * n_docs, f"planted co-clustering {co}/{n_docs} < 0.9")
+        return ds
 
     q["dedup_clusters_minhash"] = dedup_clusters_minhash
 
@@ -431,7 +504,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = vectors.map_batches(to_f64, batch_format="pyarrow").union(
             vectors.map_batches(noisy, batch_format="pyarrow")
         )
-        return lsh(corpus, threshold=0.9)
+        ds = lsh(corpus, threshold=0.9).materialize()
+        # invariants: cosine within [threshold, 1], canonical pair order,
+        # and >=75% of the planted (id, id+10M) near-dups recovered
+        # (hyperplane-LSH recall is probabilistic; measured 90.2% at sf0.01)
+        df = ds.to_pandas()
+        _require(df["cosine"].between(0.9, 1.0 + 1e-9).all(), "cosine outside [threshold, 1]")
+        _require((df["vec_a"] < df["vec_b"]).all(), "pair not canonical (a<b)")
+        planted = int(((df["vec_b"] - df["vec_a"]) == 10_000_000).sum())
+        n_vec = vectors.count()
+        _require(planted >= 0.75 * n_vec,
+                 f"planted-pair recall {planted}/{n_vec} < 0.75")
+        return ds
 
     q["lsh_cosine_pairs"] = lsh_cosine_pairs
 
@@ -447,10 +531,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["cosine_pairs_exact"] = cosine_pairs_exact
 
     def ivf_topk(sf):
-        """IVF approximate top-k (rows-only; recall-tested vs exact knn)."""
+        """IVF approximate top-k (rows-only). Invariant: recall vs the
+        exact brute-force top-k computed in the same query is >= 0.8."""
         import pyarrow.parquet as pq
 
         from duke_ray.stages.knn import ivf_topk as ivf
+        from duke_ray.stages.knn import knn_topk as knn_exact
 
         emb = pq.read_table(f"{sf}/embeddings.parquet")
         qmask = pc.less(emb["vec_id"], pa.scalar(5, pa.int64()))
@@ -458,7 +544,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         queries_mat = np.asarray(qtbl["embedding"].to_pylist(), dtype=np.float64)
         qids = np.asarray(qtbl["vec_id"].to_pylist(), dtype=np.int64)
         vectors = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
-        return ivf(vectors, queries_mat, qids, k=5, n_centroids=16, nprobe=8)
+        ds = ivf(vectors, queries_mat, qids, k=5, n_centroids=16, nprobe=10).materialize()
+        got = ds.to_pandas()
+        exact = knn_exact(vectors, queries_mat, qids, k=5).to_pandas()
+        g = got.groupby("query_id")["neighbor_id"].apply(set)
+        e = exact.groupby("query_id")["neighbor_id"].apply(set)
+        hits = sum(len(g.get(qid, set()) & e[qid]) for qid in e.index)
+        total = int(sum(len(v) for v in e))
+        _require(hits >= 0.8 * total, f"IVF recall {hits}/{total} < 0.8")
+        return ds
 
     q["ivf_topk"] = ivf_topk
 
@@ -492,9 +586,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["fingerprints_md5"] = fingerprints_md5
 
     def winnow(sf):
+        from duke_ray.sources import documents_row_count
         from duke_ray.stages.textstats import winnow_fingerprints
 
-        return winnow_fingerprints(_extracted(sf))
+        ds = winnow_fingerprints(_extracted(sf)).materialize()
+        # invariants: every doc emits >=1 fingerprint (empty text hashes the
+        # whole row) and (doc, fingerprint) rows are distinct
+        df = ds.to_pandas()
+        n_docs = documents_row_count(sf)
+        _require(df["doc_id"].nunique() == n_docs,
+                 f"{df['doc_id'].nunique()} fingerprinted docs != {n_docs} corpus docs")
+        _require(not df.duplicated(["doc_id", "fingerprint"]).any(),
+                 "duplicate (doc, fingerprint) rows")
+        return ds
 
     q["winnow_fingerprints"] = winnow
 
@@ -509,6 +613,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.read_parquet(f"{sf}/documents.parquet", columns=["text", "lang", "source"])
         res = summarize_dataset(ds)
         words, scores = res.top_n_words(10)
+        # invariants: full top-10, known ontology classes, strictly ordered
+        _require(len(words) == 10, f"top-n returned {len(words)} != 10")
+        _require(all(w in res.classes for w in words), "top word outside ontology")
+        vals = [float(s) for s in scores]
+        _require(all(a >= b for a, b in zip(vals, vals[1:])), "scores not descending")
+        _require(all(np.isfinite(vals)), "non-finite score")
         return pd.DataFrame({"rank": np.arange(1, len(words) + 1, dtype=np.int64), "class": words})
 
     q["summarize_topn"] = summarize_topn
@@ -557,10 +667,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from duke_ray.stages.multimodal import decode_features, synth_media_table
 
-        media = ray.data.from_arrow(synth_media_table(n=64))
-        return decode_features(media, backend="fake").select_columns(
-            ["media_id", "mime", "n_bytes"]
+        media = synth_media_table(n=64)
+        ds = (
+            decode_features(ray.data.from_arrow(media), backend="fake")
+            .select_columns(["media_id", "mime", "n_bytes"])
+            .materialize()
         )
+        # invariants: one row per media item, n_bytes equals the actual
+        # payload length, mime passed through
+        df = ds.to_pandas().set_index("media_id").sort_index()
+        _require(len(df) == media.num_rows, "row count != media items")
+        want_bytes = {
+            mid: len(p) for mid, p in zip(media["media_id"].to_pylist(), media["payload"].to_pylist())
+        }
+        _require(
+            all(int(df.loc[m, "n_bytes"]) == n for m, n in want_bytes.items()),
+            "n_bytes != payload length",
+        )
+        return ds
 
     q["media_features_synth"] = media_features_synth
 

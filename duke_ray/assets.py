@@ -39,7 +39,18 @@ def load_word2vec_binary(path: str, limit: int | None = None) -> "pa.Table":
     an ASCII header line ``"<vocab_size> <dim>\\n"``, then per entry the
     word bytes, one 0x20 separator, and ``dim`` little-endian float32s.
     Runs once on the driver; the resulting matrix is broadcast zero-copy
-    via ``ray.put`` (see ``SideAssets.broadcast``)."""
+    via ``ray.put`` (see ``SideAssets.broadcast``).
+
+    Compatibility with the reference's actual artifact: ``config.ini``
+    names a gensim *pickle* (``en_1000_no_stem/en.model``). That format is
+    gensim-version-specific, so this engine reads the stable public
+    interchange formats instead; convert once with::
+
+        from gensim.models import Word2Vec
+        Word2Vec.load("en.model").wv.save_word2vec_format(
+            "en.bin", binary=True)   # or binary=False for the text format
+
+    and load the result here (``load_word2vec`` sniffs binary vs text)."""
     import pyarrow as pa
 
     from .functions.vector import matrix_to_fixed_list
@@ -68,6 +79,49 @@ def load_word2vec_binary(path: str, limit: int | None = None) -> "pa.Table":
         finally:
             mm.close()
     return pa.table({"word": pa.array(words, pa.string()), "vector": matrix_to_fixed_list(mat)})
+
+
+def load_word2vec_text(path: str, limit: int | None = None) -> "pa.Table":
+    """Parse the word2vec TEXT interchange format (``binary=False`` in both
+    the original distribution and gensim's ``save_word2vec_format``): header
+    ``"<vocab_size> <dim>"`` then one ``"word v1 v2 ... vD"`` line per
+    entry. Same output schema as ``load_word2vec_binary``."""
+    import pyarrow as pa
+
+    from .functions.vector import matrix_to_fixed_list
+
+    with open(path, "rb") as f:
+        n_words, dim = (int(x) for x in f.readline().split())
+        if limit is not None:
+            n_words = min(n_words, limit)
+        words: list[str] = []
+        mat = np.empty((n_words, dim), dtype=np.float32)
+        for i in range(n_words):
+            parts = f.readline().rstrip(b"\n").split(b" ")
+            words.append(parts[0].decode("utf-8", errors="replace"))
+            mat[i] = np.array(parts[1 : dim + 1], dtype=np.float32)
+    return pa.table({"word": pa.array(words, pa.string()), "vector": matrix_to_fixed_list(mat)})
+
+
+def load_word2vec(path: str, limit: int | None = None) -> "pa.Table":
+    """Load a word2vec artifact, sniffing binary vs text layout: in the text
+    format the second line decodes as ``word`` + ``dim`` ASCII floats; in
+    the binary format the bytes after the first word's 0x20 separator are
+    raw little-endian float32s (virtually never valid ASCII numbers)."""
+    with open(path, "rb") as f:
+        header = f.readline().split()
+        if len(header) != 2:
+            raise ValueError(f"{path}: not a word2vec artifact (bad header)")
+        dim = int(header[1])
+        second = f.readline().rstrip(b"\n").split(b" ")
+    is_text = False
+    if len(second) >= dim + 1:
+        try:
+            [float(x) for x in second[1 : dim + 1]]
+            is_text = True
+        except ValueError:
+            is_text = False
+    return (load_word2vec_text if is_text else load_word2vec_binary)(path, limit=limit)
 
 
 def _vector_dim(col) -> int:

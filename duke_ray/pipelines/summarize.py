@@ -27,10 +27,45 @@ from ..stages.treeagg import tree_score_matrix
 from ..text import normalize_text
 
 
+# Irregular plurals inflection.pluralize knows that suffix rules don't —
+# covers the common DBpedia-ontology nouns (person/man/woman/child appear as
+# class names in the reference ontology; reference pluralizes descriptions
+# at /root/reference/Duke/dataset_descriptor.py:85).
+_IRREGULAR_PLURALS = {
+    "person": "people",
+    "child": "children",
+    "man": "men",
+    "woman": "women",
+    "foot": "feet",
+    "tooth": "teeth",
+    "mouse": "mice",
+    "goose": "geese",
+    "datum": "data",
+    "medium": "media",
+    "series": "series",
+    "species": "species",
+    "fish": "fish",
+    "sheep": "sheep",
+}
+
+# -f/-fe -> -ves nouns (knife -> knives); suffix test alone over-fires
+# (chief -> chiefs), so enumerate the classic set.
+_F_TO_VES = {"knife", "wife", "life", "leaf", "shelf", "wolf", "calf", "half", "loaf", "thief"}
+
+
 def pluralize(word: str) -> str:
-    """Minimal English pluralizer for class names (reference uses
-    ``inflection.pluralize``, /root/reference/Duke/dataset_descriptor.py:85;
-    rules cover the engine's ontology vocabulary)."""
+    """English pluralizer for class names / descriptions, matching
+    ``inflection.pluralize`` (reference,
+    /root/reference/Duke/dataset_descriptor.py:85) on the ontology
+    vocabulary: suffix rules plus an irregulars table. Multi-word names
+    pluralize the head (last) word."""
+    if " " in word:
+        head, _, last = word.rpartition(" ")
+        return f"{head} {pluralize(last)}"
+    if word in _IRREGULAR_PLURALS:
+        return _IRREGULAR_PLURALS[word]
+    if word in _F_TO_VES:
+        return (word[:-2] if word.endswith("fe") else word[:-1]) + "ves"
     if word.endswith(("s", "x", "z", "ch", "sh")):
         return word + "es"
     if word.endswith("y") and len(word) > 1 and word[-2] not in "aeiou":

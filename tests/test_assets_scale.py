@@ -195,3 +195,119 @@ def test_big_vocab_is_live_in_linker(big_assets):
     assert LinkActor()._link_surface("zz0000001 zz0000002") is None
     res = LinkActor(assets=big_assets)._link_surface("zz0000001 zz0000002")
     assert res is not None
+
+
+def test_word2vec_text_roundtrip_and_sniffing(tmp_path):
+    """VERDICT r2 #7: accept both public word2vec interchange formats (the
+    layouts gensim's save_word2vec_format writes with binary=True/False);
+    load_word2vec sniffs which one it got."""
+    from duke_ray.assets import load_word2vec, load_word2vec_text
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(64)]
+    mat = rng.standard_normal((64, 8)).astype(np.float32)
+
+    tpath = str(tmp_path / "w2v.txt")
+    with open(tpath, "w") as f:
+        f.write(f"{len(words)} {mat.shape[1]}\n")
+        for w, row in zip(words, mat):
+            f.write(w + " " + " ".join(repr(float(x)) for x in row) + "\n")
+    bpath = str(tmp_path / "w2v.bin")
+    _write_w2v_binary(bpath, words, mat)
+
+    ttbl = load_word2vec_text(tpath)
+    assert ttbl["word"].to_pylist() == words
+    np.testing.assert_array_equal(
+        np.asarray(ttbl["vector"].combine_chunks().flatten()).reshape(64, 8), mat
+    )
+    # sniffing: both paths through the auto loader agree exactly
+    for p in (tpath, bpath):
+        tbl = load_word2vec(p, limit=16)
+        assert tbl["word"].to_pylist() == words[:16]
+        np.testing.assert_array_equal(
+            np.asarray(tbl["vector"].combine_chunks().flatten()).reshape(16, 8), mat[:16]
+        )
+
+
+def test_ivf_link_at_1e6_entities(ray_session):
+    """VERDICT r2 #4: back the '1e6-1e8 entities' claim at real size — build
+    a 1e6-entity index, measure build time / recall-vs-flat / per-batch
+    latency, and require recall >= 0.8. Timings land in BASELINE.md
+    "Measured"."""
+    import itertools
+    import time
+
+    from duke_ray.functions.vector import matrix_to_fixed_list
+    from duke_ray.stages.link import LinkActor
+    from duke_ray.synth import build_vocab_table
+
+    n_ent, dim = 1_000_000, 64
+    base = build_vocab_table()
+    words = base["word"].to_pylist()
+    combos = list(itertools.islice(itertools.product(words, words, words, words), n_ent))
+    surfaces = [" ".join(c) for c in combos]
+    # entity vectors = embeddings of their own names + noise — the shape a
+    # real gazetteer index has (and the regime IVF is built for: queries
+    # land in-distribution, near the name-embedding clusters)
+    keep0, sv = SideAssets.build_synthetic().embed_value_rows([list(c) for c in combos])
+    assert keep0.all()
+    gen = np.random.Generator(np.random.Philox(key=41))
+    mat = (sv + 0.1 * gen.standard_normal((n_ent, dim))).astype(np.float32)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ent = pa.table(
+        {
+            "entity_id": pa.array(np.arange(n_ent, dtype=np.int64), pa.int64()),
+            "surface": pa.array(surfaces, pa.string()),
+            "vector": matrix_to_fixed_list(mat),
+            "class": pa.array(["thing"] * n_ent, pa.string()),
+        }
+    )
+    t0 = time.time()
+    assets = SideAssets.build(entities=ent)
+    t_assets = time.time() - t0
+
+    t0 = time.time()
+    ivf = LinkActor(assets=assets, k=1, index="ivf", n_cells=256, nprobe=24)
+    t_build = time.time() - t0
+    flat = LinkActor(assets=assets, k=1)
+
+    gen2 = np.random.default_rng(9)
+    probes = list({
+        f"{words[int(gen2.integers(len(words)))]} {words[int(gen2.integers(len(words)))]}"
+        for _ in range(200)
+    })
+    agree = total = 0
+    t0 = time.time()
+    for s in probes:
+        f = flat._link_surface(s)
+        if f is None:
+            continue
+        total += 1
+        v = ivf._link_surface(s)
+        if v is not None and v[0] == f[0]:
+            agree += 1
+    t_probe = time.time() - t0
+    assert total > 80
+    recall = agree / total
+    assert recall >= 0.8, f"recall {recall:.3f} ({agree}/{total})"
+
+    # per-batch latency through the full actor __call__ path
+    batch = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(8192)], pa.string()),
+            "pos": pa.array(np.arange(8192, dtype=np.int32), pa.int32()),
+            "surface": pa.array([surfaces[i * 97 % n_ent] for i in range(8192)], pa.string()),
+        }
+    )
+    t0 = time.time()
+    out = ivf(batch)
+    t_batch = time.time() - t0
+    assert out.num_rows == 8192
+    # candidate sets really prune: <= ~3x the ideal nprobe/n_cells share
+    keep, vecs = assets.embed_value_rows([probes[0].split(" ")])
+    assert len(ivf._candidates(vecs[0])) < n_ent * (24 / 256) * 3
+    print(
+        f"\nIVF@1e6: assets_build={t_assets:.1f}s ivf_init={t_build:.1f}s "
+        f"recall@1={recall:.3f} probe_avg={t_probe / max(total, 1) * 1e3:.1f}ms "
+        f"batch8192={t_batch:.2f}s"
+    )
