@@ -1,14 +1,15 @@
 """Flagship knowledge-graph construction pipeline (north rule end-to-end).
 
     read pages (Parquet, column-pruned)
-      -> extract_text            (stateless map_batches, html dropped early)
-      -> [checkpoint extracted]  (resume point for the expensive html->text
-                                  stage)
-      -> SINGLE tokenize+scan pass emitting mentions AND triples as a
-         tagged union, checkpointed partitioned by kind (one corpus pass,
-         not one per branch; each branch re-reads only its own partition
-         and columns — extraction output is orders of magnitude smaller
-         than the text it came from)
+      -> extract_text -> SINGLE tokenize+scan pass emitting mentions AND
+         triples as a tagged union — ONE streamed corpus pass (html->text,
+         tokenize, mention scan fused into the same execution), checkpointed
+         partitioned by kind. Each branch re-reads only its own partition
+         and columns; the union checkpoint is the resume point. (r2 ran the
+         tokenize+scan once PER BRANCH over a text checkpoint — two corpus
+         passes plus an extra write barrier; measured slower at every doc
+         size.) An optional text checkpoint remains for external consumers
+         (``checkpoint_extracted=True``).
       -> mentions -> link (actor pool, top-k NN)   -> node partial counts
       -> triples  -> canonicalize (salted groupby) -> edges (broadcast
                                                      surface->entity lookup)
@@ -34,7 +35,6 @@ from ..assets import SideAssets, default_assets
 from ..sources import read_pages
 from ..stages.canonicalize import canonicalize_triples
 from ..stages.extract import extract_text
-from ..stages.link import link_mentions
 from ..stages.triples import extract_mentions_and_triples
 from ..state.manifest import write_partitioned_with_manifests
 
@@ -82,6 +82,57 @@ def build_nodes(linked_mentions: "ray.data.Dataset", assets: SideAssets) -> "ray
     return counts.map_batches(attach_meta, batch_format="pyarrow")
 
 
+def build_nodes_from_surface_counts(
+    mentions: "ray.data.Dataset",
+    assets: SideAssets,
+    link_k: int = 3,
+) -> "ray.data.Dataset":
+    """Node table via per-SURFACE counting: link decisions are a pure
+    function of the surface, so the node branch never links row-by-row —
+    per-batch surface counts (cardinality <= |gazetteer|) reduce to one
+    tiny table, the unique surfaces are linked once, and counts transfer.
+    Replaces a corpus-sized link pass with a metadata-sized one; output is
+    identical to ``build_nodes(link_mentions(mentions))``."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.link import LinkActor
+
+    def surf_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["surface"]).aggregate([("surface", "count")])
+        return pa.table(
+            {"surface": g["surface"], "n": g["surface_count"].cast(pa.int64())}
+        )
+
+    counts = (
+        mentions.map_batches(surf_partial, batch_format="pyarrow")
+        .groupby("surface")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )  # <= |gazetteer| rows — driver-safe by construction
+    linker = LinkActor(assets=assets, k=link_k)
+    linked = linker._link_many(list(counts["surface"]))
+    rows = [
+        (res[0], int(n))
+        for res, n in zip(linked, counts["n"])
+        if res is not None
+    ]
+    agg: dict[int, int] = {}
+    for eid, n in rows:
+        agg[eid] = agg.get(eid, 0) + n
+    ids = sorted(agg)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "entity_id": pa.array(ids, pa.int64()),
+                "surface": pa.array([assets.entity_surfaces[i] for i in ids], pa.string()),
+                "class": pa.array([assets.entity_classes[i] for i in ids], pa.string()),
+                "type_score": pa.array(assets.entity_type_scores[ids], pa.float32()),
+                "n_mentions": pa.array([agg[i] for i in ids], pa.int64()),
+            }
+        )
+    )
+
+
 def build_edges(canonical: "ray.data.Dataset", assets: SideAssets) -> "ray.data.Dataset":
     """Edge table: canonical triples with surfaces resolved to entity ids via
     the broadcast gazetteer (no shuffle join — SURVEY.md J5); the lookup is
@@ -115,12 +166,18 @@ def run_kg_pipeline(
     n_buckets: int = 16,
     n_salt: int = 16,
     assets: SideAssets | None = None,
-    checkpoint_extracted: bool = True,
+    checkpoint_extracted: bool = False,
     link_k: int = 3,
     overlap_branches: bool = True,
 ) -> dict:
     """End-to-end KG build; returns the metrics dict (also written to
-    ``out_dir/metrics.json``)."""
+    ``out_dir/metrics.json``).
+
+    ``checkpoint_extracted=False`` (default): the html->text extraction
+    fuses into the single tokenize+scan execution — one corpus pass total,
+    with the kind-partitioned union checkpoint as the resume point. Set
+    True to ALSO persist the extracted text table (a second corpus-sized
+    write) for consumers outside this pipeline."""
     from ..context import tune_context
 
     tune_context()
@@ -146,11 +203,14 @@ def run_kg_pipeline(
         # other consumers but never enter the branch executions.
         extracted = ray.data.read_parquet(ckpt, columns=["url", "text"])
 
+    import time as _time
+
+    _dbg = bool(os.environ.get("DUKE_KG_DEBUG"))
+    _t0 = _time.time()
+
     # SINGLE-PASS extraction (VERDICT r2 #1): one tokenize + mention scan
     # emits the tagged (mention | triple) union, checkpointed partitioned
-    # by kind. The union is orders of magnitude smaller than the corpus
-    # text, so the extra write+read costs far less than the second corpus
-    # pass it replaces — and adds a resume point.
+    # by kind — the one streamed corpus pass of the pipeline.
     kg_ckpt = os.path.join(out_dir, "kg_extract")
     kg_marker = os.path.join(kg_ckpt, "_done.json")
     if not (os.path.isfile(kg_marker) and json.load(open(kg_marker)).get("fingerprint") == fingerprint):
@@ -163,6 +223,8 @@ def run_kg_pipeline(
         )
         with open(kg_marker, "w") as f:
             json.dump({"fingerprint": fingerprint}, f)
+    if _dbg:
+        print(f"kg phase extract+union: {_time.time() - _t0:.2f}s", flush=True)
 
     def _read_kind(kind: str, columns: list[str]) -> "ray.data.Dataset":
         d = os.path.join(kg_ckpt, f"kind={kind}")
@@ -177,7 +239,7 @@ def run_kg_pipeline(
     # resolution lazily imports fsspec modules, and two branch threads doing
     # it concurrently race on Python's import machinery (a failed optional
     # import is briefly visible half-initialized to the other thread).
-    mentions = _read_kind("m", ["url", "pos", "surface"])
+    mentions = _read_kind("m", ["surface"])
     triples = _read_kind("t", ["url", "subj", "pred", "obj"])
 
     # node and edge branches run as CONCURRENT executions (two driver
@@ -185,20 +247,27 @@ def run_kg_pipeline(
     # the branches touch disjoint shuffle keys and outputs, so overlapping
     # them fills the scheduler gaps each leaves (~30% wall saved measured)
     def nodes_branch() -> dict:
-        linked = link_mentions(mentions, assets=injected_assets, k=link_k)
-        nodes = build_nodes(linked, assets)
-        return write_partitioned_with_manifests(
+        t0 = _time.time()
+        nodes = build_nodes_from_surface_counts(mentions, assets, link_k=link_k)
+        res = write_partitioned_with_manifests(
             nodes, os.path.join(out_dir, "nodes"), key_cols=["entity_id"],
             n_buckets=n_buckets, fingerprint=fingerprint,
         )
+        if _dbg:
+            print(f"kg phase nodes: {_time.time() - t0:.2f}s", flush=True)
+        return res
 
     def edges_branch() -> dict:
+        t0 = _time.time()
         canonical = canonicalize_triples(triples, n_salt=n_salt)
         edges = build_edges(canonical, assets)
-        return write_partitioned_with_manifests(
+        res = write_partitioned_with_manifests(
             edges, os.path.join(out_dir, "edges"), key_cols=["subj_id", "pred", "obj_id"],
             n_buckets=n_buckets, fingerprint=fingerprint,
         )
+        if _dbg:
+            print(f"kg phase edges: {_time.time() - t0:.2f}s", flush=True)
+        return res
 
     if overlap_branches:
         from concurrent.futures import ThreadPoolExecutor

