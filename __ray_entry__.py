@@ -346,6 +346,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["exact_dedup"] = exact_dedup
 
+    def clean_corpus(sf):
+        """Composed cleaning chain (lang filter + quality filter +
+        exact-dedup survivor) — the pretraining-data path end to end.
+        Input = documents plus EXACT copies (doc_id + 20M; dedup must keep
+        the originals) plus truncated 5-token variants (doc_id + 30M;
+        quality length gate must drop them)."""
+        from duke_ray.pipelines.clean import clean_corpus as cc
+
+        docs = _extracted(sf)
+
+        def variants(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            toks = pc.split_pattern(batch["text"], pattern=" ")
+            short = pc.binary_join(pc.list_slice(toks, 0, 5), pa.scalar(" "))
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        np.concatenate([ids + 20_000_000, ids + 30_000_000]), pa.int64()
+                    ),
+                    "text": pa.concat_arrays(
+                        [batch["text"].combine_chunks(), short.combine_chunks()]
+                    ),
+                }
+            )
+
+        corpus = docs.union(docs.map_batches(variants, batch_format="pyarrow"))
+        return cc(corpus)
+
+    q["clean_corpus"] = clean_corpus
+
     def _perturbed_corpus(sf):
         """documents plus deterministic near-duplicates: copy of each doc
         with its first 3 tokens dropped, doc_id += 10_000_000."""
@@ -800,6 +830,45 @@ FROM toks t JOIN links l ON t.tok = l.surface
 """
 
     sql["exact_dedup"] = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+    sql["clean_corpus"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 5), ' ') AS text
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok
+  FROM corpus
+),
+st AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1) AS stop_ratio,
+         SUM(length(tok)) / GREATEST(COUNT(*), 1) AS avg_len
+  FROM toks GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END
+          + CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 30 ELSE 0 END
+          + CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 30 ELSE 0 END)::BIGINT AS quality_centi
+  FROM st
+),
+kept AS (
+  SELECT d.doc_id, d.text FROM corpus d JOIN q USING (doc_id)
+  WHERE q.quality_centi >= 70
+    AND NOT regexp_matches(d.text, '[\\x{{4E00}}-\\x{{9FFF}}]')
+    AND NOT regexp_matches(d.text, '[ñ¿¡]')
+    AND NOT regexp_matches(d.text, '[äöüß]')
+    AND NOT regexp_matches(d.text, '[àâçèéêëîïôùûœ]')
+)
+SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+"""
 
     # Exact k=3-shingle Jaccard over the perturbed corpus (documents plus a
     # variant of each doc with its first 3 tokens dropped, doc_id += 10M) —

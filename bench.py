@@ -31,6 +31,15 @@ def run_bench() -> dict:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
 
+    # GRAFT_PIN_CPUS=1 (set by --scaling): enforce the parallelism level at
+    # the OS level — sched_setaffinity before ray.init is inherited by the
+    # raylet and every worker, so the N-CPU leg really runs on N cores.
+    # Ray's num_cpus alone only caps SCHEDULING SLOTS; io threads, the
+    # raylet, plasma and the driver still use every core on the machine,
+    # which silently inflates the low-parallelism leg of a scaling pair.
+    if os.environ.get("GRAFT_PIN_CPUS") == "1":
+        os.sched_setaffinity(0, set(range(NUM_CPUS)))
+
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -139,6 +148,7 @@ def run_scaling() -> dict:
     def run_at(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_REPLICAS=replicas,
                    GRAFT_OVERLAP=overlap,
+                   GRAFT_PIN_CPUS=os.environ.get("GRAFT_PIN_CPUS", "1"),
                    PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

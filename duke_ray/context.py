@@ -31,6 +31,13 @@ def tune_context(force: bool = False) -> None:
         except Exception:  # noqa: BLE001
             pass
     ctx.read_op_min_num_blocks = max(2 * ncpu, 8)
+    # Per-operator resource reservation starves the long-pole map operator
+    # in low-CPU sessions with several downstream ops: measured 81.9s -> 29.0s
+    # for the canonicalize exchange leg at 8 CPUs (the reserved shares left
+    # the producer ~1 concurrent task while the sorts sat idle waiting for
+    # its output). All engine pipelines are acyclic map/shuffle chains with
+    # min-1 actor pools, so reservation's deadlock protection buys nothing.
+    ctx.op_resource_reservation_enabled = False
     _TUNED = True
 
 

@@ -74,12 +74,73 @@ def documents_row_count(sf_dir: str) -> int:
 def read_pages(sf_dir: str, replicas: int = 1) -> "ray.data.Dataset":
     """documents -> Common-Crawl-style pages Dataset (lazy, distributed).
 
-    Replication happens INSIDE one map stage (each input batch emits its
-    ``replicas`` doc-id-offset copies) — a union of R branches would build
-    2R operators whose scheduling overhead dominates at small scale."""
+    ``replicas > 1`` (the bench's scale knob) parallelizes over
+    (doc-chunk x replica-group) SEED rows: the small documents table is
+    broadcast once (``ray.put``), each seed task synthesizes the pages for
+    its chunk x replica range with LARGE per-call batches. This keeps task
+    count ~8 x cores (short tail) without shrinking the per-call batch
+    (small calls measured 8x per-page synth overhead). At 100 TB the page
+    input is thousands of files and read parallelism is natural — the
+    seed path exists for the single-file synthetic corpus only."""
     import pyarrow as pa
 
+    import ray
+
     n_docs = documents_row_count(sf_dir)
+    path = table_path(sf_dir, "documents")
+    small = os.path.getsize(path) <= 64 << 20
+
+    ncpu = 8
+    try:
+        if ray.is_initialized():
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        pass
+
+    if replicas > 1 and small:
+        tbl = pq.read_table(path, columns=["doc_id", "text", "lang"])
+        tbl = tbl.replace_schema_metadata(None)  # pandas metadata breaks schema hashing
+        docs_ref = ray.put(tbl)
+        n_seeds_target = max(16, 8 * ncpu)
+        n_doc_chunks = max(1, min(-(-tbl.num_rows // 512), n_seeds_target))
+        step = -(-tbl.num_rows // n_doc_chunks)
+        rep_group = max(1, (replicas * n_doc_chunks) // n_seeds_target)
+        seeds = [
+            (c, r0, min(r0 + rep_group, replicas))
+            for c in range(0, tbl.num_rows, step)
+            for r0 in range(0, replicas, rep_group)
+        ]
+        seed_tbl = pa.table(
+            {
+                "off": pa.array([s0 for s0, _, _ in seeds], pa.int64()),
+                "rep_lo": pa.array([a for _, a, _ in seeds], pa.int64()),
+                "rep_hi": pa.array([b for _, _, b in seeds], pa.int64()),
+            }
+        )
+        seed_ds = ray.data.from_arrow(
+            [seed_tbl.slice(i, 1) for i in range(len(seeds))]
+        )
+
+        def synth_seed(batch: "pa.Table") -> "pa.Table":
+            docs = _docs_broadcast(docs_ref)
+            parts = []
+            for off, lo, hi in zip(
+                batch["off"].to_pylist(), batch["rep_lo"].to_pylist(), batch["rep_hi"].to_pylist()
+            ):
+                sl = docs.slice(off, step)
+                for r in range(lo, hi):
+                    parts.append(
+                        pages_batch_from_documents(sl, replica=r, n_docs_per_replica=n_docs)
+                    )
+            return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
+        # ray_remote_args_fn (a no-op) BLOCKS operator fusion so downstream
+        # extract stages bundle over the EXPANDED page blocks — a fused
+        # chain bundles by INPUT seed rows and collapses task parallelism
+        # (measured: a 2.5M-page run as 2 tasks, flat 16s at 8 and 32 CPUs).
+        return seed_ds.map_batches(
+            synth_seed, batch_format="pyarrow", batch_size=1, ray_remote_args_fn=dict
+        )
 
     def synth(batch: "pa.Table") -> "pa.Table":
         parts = [
@@ -88,6 +149,35 @@ def read_pages(sf_dir: str, replicas: int = 1) -> "ray.data.Dataset":
         ]
         return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
 
-    base = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    batch_size = max(64, 1024 // max(1, replicas))  # html payload bounds blocks
-    return base.map_batches(synth, batch_format="pyarrow", batch_size=batch_size)
+    if small:
+        # single-row-group file -> ray reads it as ONE serial task; slice
+        # driver-side into real blocks instead
+        tbl = pq.read_table(path, columns=["doc_id", "text", "lang"])
+        tbl = tbl.replace_schema_metadata(None)
+        n_chunks = min(max(8, 4 * ncpu), max(1, tbl.num_rows))
+        step = -(-tbl.num_rows // n_chunks)
+        base = ray.data.from_arrow(
+            [tbl.slice(i, step) for i in range(0, tbl.num_rows, step)]
+        )
+    else:
+        base = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return base.map_batches(
+        synth, batch_format="pyarrow", batch_size=1024, ray_remote_args_fn=dict
+    )
+
+
+_DOCS_BROADCAST_CACHE: dict = {}
+
+
+def _docs_broadcast(ref):
+    """Process-local cache of the broadcast documents table (one zero-copy
+    plasma read per worker process, not one per task)."""
+    key = ref.binary()
+    val = _DOCS_BROADCAST_CACHE.get(key)
+    if val is None:
+        import ray
+
+        if len(_DOCS_BROADCAST_CACHE) > 4:
+            _DOCS_BROADCAST_CACHE.clear()
+        val = _DOCS_BROADCAST_CACHE[key] = ray.get(ref)
+    return val

@@ -9,13 +9,18 @@ Skew + overhead design (SURVEY.md A9/D4):
 
 1. **map-side partial aggregation**: within each batch, collapse to
    ``(subj, pred, obj, url) -> n`` counts (pyarrow group_by per batch) —
-   this alone removes the per-occurrence row volume;
-2. **page stage**: group by the COMBINED key ``subj\\x1fpred\\x1fobj\\x1furl``
-   — the url acts as the salt: a hot triple's occurrences spread over its
-   pages, and per-batch pre-aggregation bounds any reducer's input to one
-   row per (triple, url). A single combined key column instead of a
-   4-column key because Ray's multi-column sort-shuffle is ~15x slower
-   (measured 28.6s vs 1.9s on 250k rows);
+   this alone removes the per-occurrence row volume. The spo key ships
+   DICTIONARY-ENCODED (unique triples per batch << rows): the exchange
+   carries an int32 index per row + one small per-block dictionary, not a
+   ~60-byte combined string per row;
+2. **page stage**: hash-partition by (spo, url) — the url acts as the
+   salt: a hot triple's occurrences spread over its pages, and per-batch
+   pre-aggregation bounds any reducer's input to one row per (triple,
+   url). The Ray-level shuffle keys on the single low-cardinality ``meta``
+   column (state/exchange.py) — a multi-column Ray sort key is ~15x
+   slower (measured 28.6s vs 1.9s on 250k rows); the real (spo, url)
+   grouping runs inside the partition in Arrow C++. The url is DROPPED at
+   this reduce's output (downstream needs only per-page presence);
 3. **final stage**: per-batch combine to one row per triple key, then group
    by the triple key summing occurrences and (additive, exact) page counts.
    Each batch contributes at most one row per triple, so the hottest key
@@ -44,26 +49,39 @@ _SEP = "\x1f"
 
 
 def partial_counts(batch: pa.Table, n_salt: int = 0) -> pa.Table:
-    """Per-batch combiner: one row per (subj,pred,obj,url) with its count,
-    keyed by the combined page key (``n_salt`` kept for API compat)."""
+    """Per-batch combiner: one row per (subj,pred,obj,url) with its count.
+
+    The spo key is DICTIONARY-ENCODED (unique triples per batch << rows):
+    the per-page exchange then ships an int32 index per row plus one small
+    per-block dictionary instead of a ~60-byte combined string per row —
+    measured 3-4x less shuffle volume on the 2.5M-page bench. ``n_salt``
+    kept for API compat."""
     g = batch.group_by(_KEY + ["url"]).aggregate([("url", "count")])
-    page_key = pc.binary_join_element_wise(
-        g["subj"], g["pred"], g["obj"], g["url"], _SEP
+    spo = pc.binary_join_element_wise(g["subj"], g["pred"], g["obj"], _SEP)
+    if isinstance(spo, pa.ChunkedArray):
+        spo = spo.combine_chunks()
+    return pa.table(
+        {
+            "spo": spo.dictionary_encode(),
+            "url": g["url"],
+            "n": g["url_count"].cast(pa.int64()),
+        }
     )
-    return pa.table({"k": page_key, "n": g["url_count"].cast(pa.int64())})
+
+
+def _per_page_reduce(t: pa.Table) -> pa.Table:
+    """Exchange-1 reduce: collapse to one row per (spo, url) globally, then
+    drop the url — downstream only needs (spo, n, one-page) partials."""
+    g = t.group_by(["spo", "url"]).aggregate([("n", "sum")])
+    spo = g["spo"]
+    if pa.types.is_dictionary(spo.type):
+        spo = spo.cast(pa.string())
+    return pa.table({"spo": spo, "n": g["n_sum"].cast(pa.int64())})
 
 
 def _to_triple_partials(batch: pa.Table) -> pa.Table:
-    """(page_key, n) -> per-batch (triple_key, n, pages) partials."""
-    # strip the url component: rsplit on the last separator
-    spo = pc.replace_substring_regex(batch["k"], pattern=_SEP + r"[^\x1f]*$", replacement="")
-    t = pa.table(
-        {
-            "spo": spo,
-            "n": batch["n"],
-        }
-    )
-    g = t.group_by("spo").aggregate([("n", "sum"), ("spo", "count")])
+    """(spo, n) one-row-per-(spo,url) -> per-batch (spo, n, pages) partials."""
+    g = batch.group_by("spo").aggregate([("n", "sum"), ("spo", "count")])
     return pa.table(
         {
             "spo": g["spo"],
@@ -93,12 +111,12 @@ def canonicalize_triples(triples: "ray.data.Dataset", n_salt: int = 16) -> "ray.
     ``partitioned_reduce`` hash exchanges (low-cardinality Ray shuffle +
     Arrow C++ per-partition aggregation) rather than Ray aggregates; see
     duke_ray/state/exchange.py for the measured rationale."""
-    from ..state.exchange import grouped_sum, partitioned_reduce
+    from ..state.exchange import partitioned_reduce
 
     partials = triples.map_batches(
         lambda b: partial_counts(b), batch_format="pyarrow", batch_size=65536
     )
-    per_page = grouped_sum(partials, "k", {"n": "n"})
+    per_page = partitioned_reduce(partials, ["spo", "url"], _per_page_reduce)
     combined = per_page.map_batches(_to_triple_partials, batch_format="pyarrow", batch_size=65536)
 
     def final_reduce(t: pa.Table) -> pa.Table:

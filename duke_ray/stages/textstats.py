@@ -109,25 +109,29 @@ def quality_scores(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: s
         wordlen_ok  = 1 if 2.0 <= avg_token_len <= 12.0 else 0
         quality_centi = length_ok*40 + stop_ok*30 + wordlen_ok*30   (int64)
     """
+    return docs.map_batches(
+        lambda b: quality_batch(b, id_col, text_col), batch_format="pyarrow", batch_size=8192
+    )
 
-    def per_batch(batch: pa.Table) -> pa.Table:
-        st = token_stats_batch(batch, id_col, text_col)
-        n = st["n_tokens"].to_numpy(zero_copy_only=False)
-        stop = st["stopword_ratio"].to_numpy(zero_copy_only=False)
-        wl = st["avg_token_len"].to_numpy(zero_copy_only=False)
-        score = (
-            ((n >= 10) & (n <= 1000)).astype(np.int64) * 40
-            + ((stop >= 0.01) & (stop <= 0.6)).astype(np.int64) * 30
-            + ((wl >= 2.0) & (wl <= 12.0)).astype(np.int64) * 30
-        )
-        return pa.table(
-            {
-                "doc_id": st["doc_id"],
-                "quality_centi": pa.array(score, pa.int64()),
-            }
-        )
 
-    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=8192)
+def quality_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-batch quality scoring (row-aligned with the input batch) —
+    shared by ``quality_scores`` and composed filter pipelines."""
+    st = token_stats_batch(batch, id_col, text_col)
+    n = st["n_tokens"].to_numpy(zero_copy_only=False)
+    stop = st["stopword_ratio"].to_numpy(zero_copy_only=False)
+    wl = st["avg_token_len"].to_numpy(zero_copy_only=False)
+    score = (
+        ((n >= 10) & (n <= 1000)).astype(np.int64) * 40
+        + ((stop >= 0.01) & (stop <= 0.6)).astype(np.int64) * 30
+        + ((wl >= 2.0) & (wl <= 12.0)).astype(np.int64) * 30
+    )
+    return pa.table(
+        {
+            "doc_id": st["doc_id"],
+            "quality_centi": pa.array(score, pa.int64()),
+        }
+    )
 
 
 # GPT-2-style pretokenizer pattern (public regex, RE2-compatible subset:
