@@ -376,6 +376,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["clean_corpus"] = clean_corpus
 
+    def hash_sample(sf):
+        """Deterministic md5-keyed Bernoulli sample (rate 64/256 = 25%)."""
+        from duke_ray.stages.sampling import hash_sample as hs
+
+        return hs(_extracted(sf), rate_256=64).select_columns(["doc_id"])
+
+    q["hash_sample"] = hash_sample
+
+    def token_budget_head(sf):
+        """Budget-bounded corpus head: docs in id order while the inclusive
+        running token total stays <= 10k."""
+        from duke_ray.stages.sampling import token_budget_head as tbh
+
+        return tbh(_extracted(sf), budget=10_000)
+
+    q["token_budget_head"] = token_budget_head
+
     def _perturbed_corpus(sf):
         """documents plus deterministic near-duplicates: copy of each doc
         with its first 3 tokens dropped, doc_id += 10_000_000."""
@@ -830,6 +847,21 @@ FROM toks t JOIN links l ON t.tok = l.surface
 """
 
     sql["exact_dedup"] = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+    sql["hash_sample"] = """
+SELECT doc_id FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+"""
+
+    sql["token_budget_head"] = """
+SELECT doc_id, n_tokens, cum_tokens FROM (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(SUM(len(string_split(text, ' ')))
+              OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM documents
+) WHERE cum_tokens <= 10000
+"""
 
     sql["clean_corpus"] = f"""
 WITH corpus AS (

@@ -1,0 +1,142 @@
+"""Corpus sampling operators — deterministic, coordination-free, oracle-able.
+
+Training-data pipelines need reproducible subsets: a Bernoulli sample that
+is a pure function of the row key (same subset on any cluster size, no RNG
+state to ship), and a token-budget head ("the first N tokens' worth of
+documents in key order") for budget-bounded corpus builds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def _md5_prefix2(ids: pa.Array) -> np.ndarray:
+    """First two hex chars of md5(str(id)) per row, as a fixed '<U2' array.
+
+    md5 is inherently per-row; the digests run over the utf8 buffer of the
+    casted column (same discipline as textstats.fingerprint_batch)."""
+    s = ids.cast(pa.string())
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    buf = s.buffers()[2]
+    offs = np.frombuffer(s.buffers()[1], dtype=np.int32, count=len(s) + 1)
+    mv = memoryview(buf)
+    out = np.empty(len(s), dtype="<U2")
+    for i in range(len(s)):
+        out[i] = hashlib.md5(mv[offs[i] : offs[i + 1]]).hexdigest()[:2]
+    return out
+
+
+def hash_sample(
+    docs: "ray.data.Dataset", rate_256: int, id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Deterministic Bernoulli sample: keep rows whose md5(str(id)) hex
+    prefix is below ``rate_256``/256 (granularity 1/256). Pure function of
+    the key — reproducible across runs and cluster sizes, embarrassingly
+    parallel, and expressible in SQL (md5 + substring) for the oracle."""
+    bound = f"{rate_256:02x}"
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        keep = _md5_prefix2(batch[id_col]) < bound
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=16384)
+
+
+def token_budget_head(
+    docs: "ray.data.Dataset",
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_size: int = 1024,
+) -> "ray.data.Dataset":
+    """Budget-bounded corpus head: documents in ascending ``id_col`` order
+    whose INCLUSIVE running token total stays <= ``budget``.
+
+    Distributed prefix sum without a global sort: per-batch (bucket =
+    id // bucket_size, sum) partials reduce to one tiny per-bucket table
+    (metadata-scale — 1e12 docs / 1024 = 1e9 rows would move to a tree
+    reduce; at engine scales it is driver-safe), the driver prefix-sums
+    bucket offsets, and a second streamed pass cumsums WITHIN each bucket
+    and adds its offset. Output: (doc_id, n_tokens, cum_tokens)."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(batch[text_col], pattern=" "))
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "n_tokens": n.cast(pa.int64()),
+            }
+        )
+
+    with_counts = docs.map_batches(counts, batch_format="pyarrow", batch_size=16384)
+
+    def bucket_partial(batch: pa.Table) -> pa.Table:
+        b = pc.divide(batch["doc_id"], pa.scalar(bucket_size, pa.int64()))
+        t = pa.table({"bucket": b, "n": batch["n_tokens"]})
+        g = t.group_by("bucket").aggregate([("n", "sum")])
+        return pa.table({"bucket": g["bucket"], "n": g["n_sum"]})
+
+    per_bucket = (
+        with_counts.map_batches(bucket_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .sum("n")
+        .to_pandas()
+    )
+    if per_bucket.empty:
+        # empty input: Ray's groupby drops the schema entirely
+        buckets = np.array([], dtype=np.int64)
+        offsets = np.array([], dtype=np.int64)
+    else:
+        per_bucket = per_bucket.sort_values("bucket")
+        buckets = per_bucket["bucket"].to_numpy()
+        offsets = np.concatenate([[0], np.cumsum(per_bucket["sum(n)"].to_numpy())[:-1]])
+    # buckets whose offset already exceeds the budget can't contribute
+    import ray as _ray
+
+    carry_ref = _ray.put((buckets, offsets))
+
+    def within_bucket(t: pa.Table) -> pa.Table:
+        bk, off = _ray.get(carry_ref)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(doc, kind="stable")
+        doc, n = doc[order], n[order]
+        b = doc // bucket_size
+        cum = np.cumsum(n)
+        # reset the running sum at bucket boundaries, then add the global
+        # bucket offset
+        starts = np.flatnonzero(np.concatenate([[True], b[1:] != b[:-1]]))
+        base = np.repeat(cum[starts] - n[starts], np.diff(np.concatenate([starts, [len(b)]])))
+        local = cum - base
+        gidx = np.searchsorted(bk, b)
+        total = local + off[gidx]
+        keep = total <= budget
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[keep], pa.int64()),
+                "n_tokens": pa.array(n[keep], pa.int64()),
+                "cum_tokens": pa.array(total[keep], pa.int64()),
+            }
+        )
+
+    from ..state.exchange import partitioned_reduce
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "bucket", pc.divide(batch["doc_id"], pa.scalar(bucket_size, pa.int64()))
+        )
+
+    bucketed = with_counts.map_batches(add_bucket, batch_format="pyarrow")
+
+    def reduce_partition(t: pa.Table) -> pa.Table:
+        return within_bucket(t.drop_columns(["bucket"]))
+
+    return partitioned_reduce(bucketed, "bucket", reduce_partition)

@@ -133,3 +133,28 @@ def test_single_pass_union_matches_per_kind_extractors(ray_session, sf_dir):
 
     pd.testing.assert_frame_equal(m_got, m_want)
     pd.testing.assert_frame_equal(t_got, t_want)
+
+
+def test_read_pages_seed_path_matches_replica_loop(ray_session, sf_dir):
+    """The bench-scale seed path (replicas>1: doc-chunk x replica-group
+    tasks over a broadcast documents table) must produce EXACTLY the same
+    page rows as the simple per-batch replica loop."""
+    from duke_ray.sources import read_pages
+    from duke_ray.synth import pages_batch_from_documents
+
+    import pyarrow.parquet as pq
+
+    got = (
+        read_pages(sf_dir, replicas=3)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    want = pa.concat_tables(
+        [pages_batch_from_documents(docs, replica=r, n_docs_per_replica=docs.num_rows) for r in range(3)]
+    ).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == len(want) == 3 * docs.num_rows
+    pd_cols = ["url", "warc_ts", "lang", "text", "html"]
+    for c in pd_cols:
+        assert got[c].equals(want[c]), c

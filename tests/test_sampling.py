@@ -1,0 +1,84 @@
+"""Sampling operators: deterministic hash sample + token-budget head."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from duke_ray.stages.sampling import hash_sample, token_budget_head
+
+
+@pytest.fixture(scope="module")
+def docs_table(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def test_hash_sample_matches_direct_md5(ray_session, docs_table):
+    ds = ray.data.from_arrow(docs_table)
+    got = sorted(hash_sample(ds, rate_256=64).select_columns(["doc_id"]).to_pandas()["doc_id"])
+
+    ids = docs_table["doc_id"].to_pylist()
+    want = sorted(
+        i for i in ids if hashlib.md5(str(i).encode()).hexdigest()[:2] < "40"
+    )
+    assert got == want
+    # sanity: the rate is roughly 25% (md5 is uniform)
+    assert 0.15 < len(want) / len(ids) < 0.35
+
+
+def test_hash_sample_stable_across_partitionings(ray_session, docs_table):
+    """Pure function of the key: any block layout yields the same subset."""
+    a = ray.data.from_arrow(docs_table)
+    b = ray.data.from_arrow(docs_table).repartition(7)
+    sa = sorted(hash_sample(a, rate_256=32).select_columns(["doc_id"]).to_pandas()["doc_id"])
+    sb = sorted(hash_sample(b, rate_256=32).select_columns(["doc_id"]).to_pandas()["doc_id"])
+    assert sa == sb
+
+
+def test_token_budget_head_matches_pandas_cumsum(ray_session, docs_table):
+    budget = 10_000
+    ds = ray.data.from_arrow(docs_table)
+    got = (
+        token_budget_head(ds, budget=budget)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    df = docs_table.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    n = df["text"].str.split(" ").str.len().astype("int64")
+    cum = n.cumsum()
+    keep = cum <= budget
+    want = pd.DataFrame(
+        {
+            "doc_id": df["doc_id"][keep].astype("int64"),
+            "n_tokens": n[keep],
+            "cum_tokens": cum[keep],
+        }
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # the head is a prefix in id order and the budget binds (some doc excluded)
+    assert keep.sum() < len(df)
+    assert got["cum_tokens"].iloc[-1] <= budget
+
+
+def test_token_budget_head_small_bucket_size(ray_session, docs_table):
+    """Bucket boundaries inside batches exercise the reset-at-boundary path."""
+    budget = 5_000
+    ds = ray.data.from_arrow(docs_table).repartition(5)
+    got = (
+        token_budget_head(ds, budget=budget, bucket_size=16)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    df = docs_table.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    n = df["text"].str.split(" ").str.len().astype("int64")
+    cum = n.cumsum()
+    keep = cum <= budget
+    assert got["doc_id"].tolist() == df["doc_id"][keep].astype("int64").tolist()
+    assert np.array_equal(got["cum_tokens"].to_numpy(), cum[keep].to_numpy())
