@@ -393,6 +393,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["token_budget_head"] = token_budget_head
 
+    def stratified_sample(sf):
+        """Per-language quota of 20 docs by deterministic md5 rank."""
+        from duke_ray.stages.sampling import stratified_hash_topk
+
+        return stratified_hash_topk(_extracted(sf), k=20, group_col="lang")
+
+    q["stratified_sample"] = stratified_sample
+
     def _perturbed_corpus(sf):
         """documents plus deterministic near-duplicates: copy of each doc
         with its first 3 tokens dropped, doc_id += 10_000_000."""
@@ -851,6 +859,17 @@ FROM toks t JOIN links l ON t.tok = l.surface
     sql["hash_sample"] = """
 SELECT doc_id FROM documents
 WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+"""
+
+    sql["stratified_sample"] = """
+SELECT lang, doc_id, rank_hex FROM (
+  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_hex,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
 """
 
     sql["token_budget_head"] = """

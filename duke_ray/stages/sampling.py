@@ -17,8 +17,8 @@ import pyarrow.compute as pc
 import ray.data
 
 
-def _md5_prefix2(ids: pa.Array) -> np.ndarray:
-    """First two hex chars of md5(str(id)) per row, as a fixed '<U2' array.
+def _md5_hex(ids: pa.Array, n_hex: int) -> np.ndarray:
+    """First ``n_hex`` hex chars of md5(str(id)) per row as '<U{n_hex}'.
 
     md5 is inherently per-row; the digests run over the utf8 buffer of the
     casted column (same discipline as textstats.fingerprint_batch)."""
@@ -28,10 +28,14 @@ def _md5_prefix2(ids: pa.Array) -> np.ndarray:
     buf = s.buffers()[2]
     offs = np.frombuffer(s.buffers()[1], dtype=np.int32, count=len(s) + 1)
     mv = memoryview(buf)
-    out = np.empty(len(s), dtype="<U2")
+    out = np.empty(len(s), dtype=f"<U{n_hex}")
     for i in range(len(s)):
-        out[i] = hashlib.md5(mv[offs[i] : offs[i + 1]]).hexdigest()[:2]
+        out[i] = hashlib.md5(mv[offs[i] : offs[i + 1]]).hexdigest()[:n_hex]
     return out
+
+
+def _md5_prefix2(ids: pa.Array) -> np.ndarray:
+    return _md5_hex(ids, 2)
 
 
 def hash_sample(
@@ -48,6 +52,61 @@ def hash_sample(
         return batch.filter(pa.array(keep))
 
     return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=16384)
+
+
+def stratified_hash_topk(
+    docs: "ray.data.Dataset",
+    k: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-group quota sample: for each ``group_col`` value keep the ``k``
+    rows with the smallest (md5(str(id)), id) rank — a deterministic,
+    coordination-free stand-in for per-group reservoir sampling (md5 rank is
+    uniform, so the quota is an unbiased sample; ties broken by id).
+
+    Topology: per-batch partial top-k per group (each batch emits <= k rows
+    per group it sees), then one tiny exchange of partials keyed on the
+    group — the corpus itself never shuffles. Output: (group, id, rank_hex).
+    Oracle: row_number() OVER (PARTITION BY group ORDER BY md5, id)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "rank_hex": pa.array([], pa.string()),
+                }
+            )
+        h = _md5_hex(batch[id_col], 32)
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        g = grp.to_numpy(zero_copy_only=False)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, g))
+        gs, hs, isrt = g[order], h[order], ids[order]
+        # rank within group = position since last group start
+        starts = np.flatnonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))
+        pos = np.arange(len(gs)) - np.repeat(starts, np.diff(np.concatenate([starts, [len(gs)]])))
+        keep = pos < k
+        return pa.table(
+            {
+                group_col: pa.array(gs[keep]),
+                id_col: pa.array(isrt[keep], pa.int64()),
+                "rank_hex": pa.array(hs[keep]),
+            }
+        )
+
+    from ..state.exchange import partitioned_reduce
+
+    partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    # the final reduce reuses the same keep-first-k kernel on the merged
+    # partials (<= k rows per group per batch crossed the wire)
+    return partitioned_reduce(
+        partials, group_col, lambda t: partial(t.drop_columns(["rank_hex"]))
+    )
 
 
 def token_budget_head(

@@ -82,3 +82,33 @@ def test_token_budget_head_small_bucket_size(ray_session, docs_table):
     keep = cum <= budget
     assert got["doc_id"].tolist() == df["doc_id"][keep].astype("int64").tolist()
     assert np.array_equal(got["cum_tokens"].to_numpy(), cum[keep].to_numpy())
+
+
+def test_stratified_hash_topk_matches_pandas(ray_session, sf_dir):
+    from duke_ray.stages.sampling import stratified_hash_topk
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    ds = ray.data.from_arrow(docs).repartition(6)
+    got = (
+        stratified_hash_topk(ds, k=5, group_col="lang")
+        .to_pandas()
+        .sort_values(["lang", "rank_hex", "doc_id"])
+        .reset_index(drop=True)
+    )
+
+    df = docs.to_pandas()
+    df["rank_hex"] = [
+        hashlib.md5(str(i).encode()).hexdigest() for i in df["doc_id"]
+    ]
+    want = (
+        df.sort_values(["lang", "rank_hex", "doc_id"])
+        .groupby("lang", sort=True)
+        .head(5)[["lang", "doc_id", "rank_hex"]]
+        .reset_index(drop=True)
+    )
+    want["doc_id"] = want["doc_id"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+    # every group hit its quota (or its full size)
+    sizes = df.groupby("lang").size()
+    for lang, n in got.groupby("lang").size().items():
+        assert n == min(5, sizes[lang])
