@@ -119,17 +119,42 @@ def canonicalize_triples(triples: "ray.data.Dataset", n_salt: int = 16) -> "ray.
     per_page = partitioned_reduce(partials, ["spo", "url"], _per_page_reduce)
     combined = per_page.map_batches(_to_triple_partials, batch_format="pyarrow", batch_size=65536)
 
-    def final_reduce(t: pa.Table) -> pa.Table:
-        g = t.group_by("spo").aggregate([("n", "sum"), ("pages", "sum")])
-        return pa.table(
-            {
-                "spo": g["spo"],
-                "n_occurrences": g["n_sum"].cast(pa.int64()),
-                "n_pages": g["pages_sum"].cast(pa.int64()),
-            }
-        )
+    final = partitioned_reduce(combined, "spo", _final_reduce)
+    return final.map_batches(_split_key, batch_format="pyarrow")
 
-    final = partitioned_reduce(combined, "spo", final_reduce)
+
+def _final_reduce(t: pa.Table) -> pa.Table:
+    g = t.group_by("spo").aggregate([("n", "sum"), ("pages", "sum")])
+    return pa.table(
+        {
+            "spo": g["spo"],
+            "n_occurrences": g["n_sum"].cast(pa.int64()),
+            "n_pages": g["pages_sum"].cast(pa.int64()),
+        }
+    )
+
+
+def canonicalize_from_partials(partials: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Canonicalize EXACT per-extraction-batch partials
+    ``(subj, pred, obj, n, pages)`` -> same output as
+    :func:`canonicalize_triples`.
+
+    Valid ONLY when every page's triples were aggregated within a single
+    producer batch and no url spans batches (true at extraction time: a
+    page is one row, so all its triples surface in the batch holding that
+    row — see stages/triples.py ``emit="partials"``). Under that invariant
+    both n (occurrences) and pages (distinct urls) are sums of disjoint
+    contributions, so ONE metadata-sized exchange over the unique-spo
+    partials replaces the per-(spo,url) corpus-row exchange — the flat
+    ~43 s edges leg the 10M-page scaling measurement exposed."""
+    from ..state.exchange import partitioned_reduce
+
+    def to_key(b: pa.Table) -> pa.Table:
+        spo = pc.binary_join_element_wise(b["subj"], b["pred"], b["obj"], _SEP)
+        return pa.table({"spo": spo, "n": b["n"], "pages": b["pages"]})
+
+    combined = partials.map_batches(to_key, batch_format="pyarrow", batch_size=65536)
+    final = partitioned_reduce(combined, "spo", _final_reduce)
     return final.map_batches(_split_key, batch_format="pyarrow")
 
 

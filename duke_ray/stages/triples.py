@@ -128,6 +128,44 @@ class TripleExtractor:
             return self._mentions_table(flat, url, ent_idx, is_mention)
         if self.emit == "triples":
             return self._triples_table(flat, url, is_pred, prev, nxt)
+        if self.emit == "partials":
+            # EXACT per-batch KG partials (kind "m": surface counts; kind
+            # "t": per-spo occurrence + distinct-page counts). A page is one
+            # input row, so all its mentions/triples land in THIS batch and
+            # no url ever spans batches -> the partials sum exactly across
+            # batches (stages/canonicalize.canonicalize_from_partials).
+            # Shrinks the KG checkpoint and the canonicalize exchange from
+            # corpus-row scale to unique-key-per-batch scale.
+            m = self._mentions_table(flat, url, ent_idx, is_mention)
+            t = self._triples_table(flat, url, is_pred, prev, nxt)
+            gm = m.group_by(["surface"]).aggregate([("surface", "count")])
+            g1 = t.group_by(["subj", "pred", "obj", "url"]).aggregate([("url", "count")])
+            g2 = g1.group_by(["subj", "pred", "obj"]).aggregate(
+                [("url_count", "sum"), ("url_count", "count")]
+            )
+            pm = pa.table(
+                {
+                    "kind": pa.array(["m"] * gm.num_rows, pa.string()),
+                    "surface": gm["surface"],
+                    "subj": pa.nulls(gm.num_rows, pa.string()),
+                    "pred": pa.nulls(gm.num_rows, pa.string()),
+                    "obj": pa.nulls(gm.num_rows, pa.string()),
+                    "n": gm["surface_count"].cast(pa.int64()),
+                    "pages": pa.nulls(gm.num_rows, pa.int64()),
+                }
+            )
+            pt = pa.table(
+                {
+                    "kind": pa.array(["t"] * g2.num_rows, pa.string()),
+                    "surface": pa.nulls(g2.num_rows, pa.string()),
+                    "subj": g2["subj"],
+                    "pred": g2["pred"],
+                    "obj": g2["obj"],
+                    "n": g2["url_count_sum"].cast(pa.int64()),
+                    "pages": g2["url_count_count"].cast(pa.int64()),
+                }
+            )
+            return pa.concat_tables([pm, pt])
         # emit == "both": ONE tokenize+scan of the text emits a tagged union
         # of mention and triple rows (VERDICT r2 #1 — the two KG branches
         # previously each re-ran FlatTokens.from_text + _mention_scan over
@@ -184,6 +222,10 @@ def _triples_batch(batch: pa.Table) -> pa.Table:
     return _extract_batch(batch, "triples")
 
 
+def _partials_batch(batch: pa.Table) -> pa.Table:
+    return _extract_batch(batch, "partials")
+
+
 def _both_batch(batch: pa.Table) -> pa.Table:
     return _extract_batch(batch, "both")
 
@@ -207,6 +249,29 @@ def extract_mentions_and_triples(
             concurrency=concurrency if concurrency is not None else default_pool(),
         )
     return extracted.map_batches(_both_batch, batch_format="pyarrow", batch_size=batch_size)
+
+
+def extract_kg_partials(
+    extracted: "ray.data.Dataset",
+    batch_size: int = 4096,
+    concurrency=None,
+    assets: SideAssets | None = None,
+) -> "ray.data.Dataset":
+    """Single-pass extraction emitting EXACT per-batch KG partials (tagged
+    ``kind`` = "m" surface counts / "t" per-spo occurrence+page counts).
+    Output is unique-keys-per-batch sized, not corpus-row sized — the KG
+    pipeline's checkpoint/shuffle-volume path. See
+    TripleExtractor.__call__ ``emit="partials"`` for the exactness
+    argument."""
+    if assets is not None:
+        return extracted.map_batches(
+            TripleExtractor,
+            fn_constructor_kwargs={"assets": assets, "emit": "partials"},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency if concurrency is not None else default_pool(),
+        )
+    return extracted.map_batches(_partials_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
 def extract_mentions(

@@ -4,6 +4,7 @@ This is the local form of the P/R >= 0.95 triple-agreement gate
 (BASELINE.md 'target: triple agreement')."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -158,3 +159,68 @@ def test_read_pages_seed_path_matches_replica_loop(ray_session, sf_dir):
     pd_cols = ["url", "warc_ts", "lang", "text", "html"]
     for c in pd_cols:
         assert got[c].equals(want[c]), c
+
+
+def test_kg_partials_match_raw_extraction(ray_session, sf_dir):
+    """extract_kg_partials summed == raw per-occurrence extraction: the
+    per-batch (spo, n, pages) / (surface, n) partials must canonicalize to
+    EXACTLY what the general per-(spo,url) exchange computes, and surface
+    counts must match raw mention rows."""
+    from duke_ray.sources import read_pages
+    from duke_ray.stages.extract import extract_text
+    from duke_ray.stages.triples import (
+        extract_kg_partials,
+        extract_mentions,
+        extract_triples,
+    )
+    from duke_ray.stages.canonicalize import (
+        canonicalize_from_partials,
+        canonicalize_triples,
+    )
+
+    extracted = extract_text(read_pages(sf_dir, replicas=2)).materialize()
+    parts = extract_kg_partials(extracted, batch_size=64).materialize()
+
+    key = ["subj", "pred", "obj"]
+    got_canon = (
+        canonicalize_from_partials(
+            parts.filter(lambda r: r["kind"] == "t").select_columns(
+                ["subj", "pred", "obj", "n", "pages"]
+            )
+        )
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want_canon = (
+        canonicalize_triples(extract_triples(extracted))
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got_canon[sorted(got_canon.columns)], want_canon[sorted(want_canon.columns)]
+    )
+
+    got_surf = (
+        parts.filter(lambda r: r["kind"] == "m")
+        .select_columns(["surface", "n"])
+        .groupby("surface")
+        .sum("n")
+        .to_pandas()
+        .rename(columns={"sum(n)": "n"})
+        .sort_values("surface")
+        .reset_index(drop=True)
+    )
+    want_surf = (
+        extract_mentions(extracted)
+        .groupby("surface")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n"})
+        .sort_values("surface")
+        .reset_index(drop=True)
+    )
+    got_surf["n"] = got_surf["n"].astype("int64")
+    want_surf["n"] = want_surf["n"].astype("int64")
+    pd.testing.assert_frame_equal(got_surf, want_surf)
