@@ -132,7 +132,7 @@ def run_scaling() -> dict:
     round 1's, so smaller corpora are fixed-cost-dominated and understate
     scaling). Round-3 note on the pair choice: a pure-compute control
     (tools/cpu_control_probe.py — independent BLAS tasks, no Ray Data, no
-    shuffle) shows THIS VM delivers only 2.65x from 8 -> 32 vCPUs (0.66
+    shuffle) shows THIS VM delivers only 2.62x from 8 -> 32 vCPUs (0.66
     ceiling; the 16 -> 32 step gives 1.29x even for raw numpy), while
     4 -> 16 delivers 3.59x (0.90). The engine measures 0.836 median at
     4 -> 16 and 0.65 at 8 -> 32 = 0.98x the platform's own 8 -> 32

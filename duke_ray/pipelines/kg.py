@@ -1,18 +1,19 @@
 """Flagship knowledge-graph construction pipeline (north rule end-to-end).
 
     read pages (Parquet, column-pruned)
-      -> extract_text -> SINGLE tokenize+scan pass emitting mentions AND
-         triples as a tagged union — ONE streamed corpus pass (html->text,
-         tokenize, mention scan fused into the same execution), checkpointed
-         partitioned by kind. Each branch re-reads only its own partition
-         and columns; the union checkpoint is the resume point. (r2 ran the
-         tokenize+scan once PER BRANCH over a text checkpoint — two corpus
-         passes plus an extra write barrier; measured slower at every doc
-         size.) An optional text checkpoint remains for external consumers
-         (``checkpoint_extracted=True``).
-      -> mentions -> link (actor pool, top-k NN)   -> node partial counts
-      -> triples  -> canonicalize (salted groupby) -> edges (broadcast
-                                                     surface->entity lookup)
+      -> extract_text -> SINGLE tokenize+scan pass emitting EXACT per-batch
+         KG PARTIALS (kind=m surface counts; kind=t per-spo occurrence +
+         distinct-page counts) — ONE streamed corpus pass (html->text,
+         tokenize, mention scan, map-side aggregation fused into the same
+         execution), checkpointed partitioned by kind at metadata size.
+         Exact because a page is one input row, so no url spans extraction
+         batches (r3; raw per-occurrence rows previously made the
+         checkpoint + the canonicalize exchange corpus-row-sized — a flat,
+         non-scaling disk/shuffle leg). An optional text checkpoint remains
+         for external consumers (``checkpoint_extracted=True``).
+      -> kind=m -> sum surface counts, link unique surfaces once -> nodes
+      -> kind=t -> canonicalize_from_partials (one metadata-sized
+                   exchange) -> edges (broadcast surface->entity lookup)
       -> write nodes/ + edges/ partitioned by key-hash bucket with
          per-partition lineage manifests (resume skips stamped buckets)
 
@@ -33,9 +34,9 @@ import ray.data
 from .. import __version__
 from ..assets import SideAssets, default_assets
 from ..sources import read_pages
-from ..stages.canonicalize import canonicalize_from_partials, canonicalize_triples
+from ..stages.canonicalize import canonicalize_from_partials
 from ..stages.extract import extract_text
-from ..stages.triples import extract_kg_partials, extract_mentions_and_triples
+from ..stages.triples import extract_kg_partials
 from ..state.manifest import write_partitioned_with_manifests
 
 
@@ -184,7 +185,13 @@ def run_kg_pipeline(
     fuses into the single tokenize+scan execution — one corpus pass total,
     with the kind-partitioned union checkpoint as the resume point. Set
     True to ALSO persist the extracted text table (a second corpus-sized
-    write) for consumers outside this pipeline."""
+    write) for consumers outside this pipeline.
+
+    ``n_salt`` is retained for API compatibility but is a NO-OP since the
+    edges branch moved to ``canonicalize_from_partials`` (r3): the
+    metadata-sized partials exchange has no hot keys to salt. Callers
+    tuning skew should salt inside ``canonicalize_triples`` (the general
+    per-occurrence operator), which still honors it."""
     from ..context import tune_context
 
     tune_context()

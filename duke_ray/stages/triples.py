@@ -83,8 +83,24 @@ class TripleExtractor:
             }
         )
 
-    def _triples_table(self, flat: FlatTokens, url, is_pred, prev, nxt) -> pa.Table:
+    @staticmethod
+    def _triple_indices(flat: FlatTokens, is_pred, prev, nxt):
+        """Filtered flat-buffer indices (p, subj_i, obj_i) of valid triples."""
         p = np.flatnonzero(is_pred)
+        if p.size == 0:
+            return p, p, p
+        subj_i = prev[p]          # nearest mention at-or-before; preds are never mentions
+        obj_i = nxt[p]
+        ok = (subj_i >= 0) & (obj_i >= 0)
+        # same-row + window constraints
+        ok &= np.where(subj_i >= 0, flat.row[subj_i] == flat.row[p], False)
+        ok &= np.where(obj_i >= 0, flat.row[obj_i] == flat.row[p], False)
+        ok &= np.where(subj_i >= 0, flat.pos[p] - flat.pos[subj_i] <= TRIPLE_WINDOW, False)
+        ok &= np.where(obj_i >= 0, flat.pos[obj_i] - flat.pos[p] <= TRIPLE_WINDOW, False)
+        return p[ok], subj_i[ok], obj_i[ok]
+
+    def _triples_table(self, flat: FlatTokens, url, is_pred, prev, nxt) -> pa.Table:
+        p, subj_i, obj_i = self._triple_indices(flat, is_pred, prev, nxt)
         if p.size == 0:
             return pa.table(
                 {
@@ -95,15 +111,6 @@ class TripleExtractor:
                     "pred_pos": pa.array([], pa.int32()),
                 }
             )
-        subj_i = prev[p]          # nearest mention at-or-before; preds are never mentions
-        obj_i = nxt[p]
-        ok = (subj_i >= 0) & (obj_i >= 0)
-        # same-row + window constraints
-        ok &= np.where(subj_i >= 0, flat.row[subj_i] == flat.row[p], False)
-        ok &= np.where(obj_i >= 0, flat.row[obj_i] == flat.row[p], False)
-        ok &= np.where(subj_i >= 0, flat.pos[p] - flat.pos[subj_i] <= TRIPLE_WINDOW, False)
-        ok &= np.where(obj_i >= 0, flat.pos[obj_i] - flat.pos[p] <= TRIPLE_WINDOW, False)
-        p, subj_i, obj_i = p[ok], subj_i[ok], obj_i[ok]
         return pa.table(
             {
                 "url": url.take(pa.array(flat.row[p])),
@@ -135,13 +142,27 @@ class TripleExtractor:
             # no url ever spans batches -> the partials sum exactly across
             # batches (stages/canonicalize.canonicalize_from_partials).
             # Shrinks the KG checkpoint and the canonicalize exchange from
-            # corpus-row scale to unique-key-per-batch scale.
-            m = self._mentions_table(flat, url, ent_idx, is_mention)
-            t = self._triples_table(flat, url, is_pred, prev, nxt)
-            gm = m.group_by(["surface"]).aggregate([("surface", "count")])
-            g1 = t.group_by(["subj", "pred", "obj", "url"]).aggregate([("url", "count")])
+            # corpus-row scale to unique-key-per-batch scale. The batch row
+            # INDEX stands in for the url (urls are unique per row), so no
+            # corpus-row-scale string column is ever built on this path.
+            sel = np.flatnonzero(is_mention)
+            gm = (
+                pa.table({"surface": flat.tokens.take(pa.array(sel))})
+                .group_by(["surface"])
+                .aggregate([("surface", "count")])
+            )
+            p, subj_i, obj_i = self._triple_indices(flat, is_pred, prev, nxt)
+            t = pa.table(
+                {
+                    "subj": flat.tokens.take(pa.array(subj_i)),
+                    "pred": flat.tokens.take(pa.array(p)),
+                    "obj": flat.tokens.take(pa.array(obj_i)),
+                    "row": pa.array(flat.row[p], pa.int64()),
+                }
+            )
+            g1 = t.group_by(["subj", "pred", "obj", "row"]).aggregate([("row", "count")])
             g2 = g1.group_by(["subj", "pred", "obj"]).aggregate(
-                [("url_count", "sum"), ("url_count", "count")]
+                [("row_count", "sum"), ("row_count", "count")]
             )
             pm = pa.table(
                 {
@@ -161,8 +182,8 @@ class TripleExtractor:
                     "subj": g2["subj"],
                     "pred": g2["pred"],
                     "obj": g2["obj"],
-                    "n": g2["url_count_sum"].cast(pa.int64()),
-                    "pages": g2["url_count_count"].cast(pa.int64()),
+                    "n": g2["row_count_sum"].cast(pa.int64()),
+                    "pages": g2["row_count_count"].cast(pa.int64()),
                 }
             )
             return pa.concat_tables([pm, pt])

@@ -8,15 +8,16 @@ better than this control on the same host.
 
 Usage: python tools/cpu_control_probe.py [N M ...]   (default: 4 16 8 32)
 
-Measured 2026-08-17 on the shared bench VM (fresh processes, interleaved):
+Measured 2026-08-17 on the shared bench VM (fresh processes, interleaved;
+two runs per level):
   4 -> 16: 57.5s / 16.0s = 3.59x  -> 0.90 efficiency
-  8 -> 32: 32.5s / 12.4s = 2.65x  -> 0.66 efficiency  (the 16 -> 32 step
+  8 -> 32: 32.5s / 12.4s = 2.62x  -> 0.66 efficiency  (the 16 -> 32 step
   yields only 1.29x even for pure BLAS — beyond ~16-20 effective cores the
   VM has no additional real CPU to give)
 
 So on this host the >= 0.8 N -> 4N criterion is only *measurable* at
-4 -> 16; at 8 -> 32 the platform ceiling is ~0.66 and the engine's
-kg_pipeline measures 0.65 (0.98x the ceiling).
+4 -> 16; at 8 -> 32 the platform ceiling is ~0.65-0.66 and the engine's
+kg_pipeline measures 0.65 (~the ceiling).
 """
 
 from __future__ import annotations
@@ -46,10 +47,11 @@ def run_level(n: int) -> float:
         "print(time.time() - t0)\n"
         "ray.shutdown()\n"
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
-    ).stdout
-    return float(out.strip().splitlines()[-1])
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    if proc.returncode != 0:
+        sys.stderr.write(proc.stderr)
+        raise RuntimeError(f"control probe failed at num_cpus={n} (stderr above)")
+    return float(proc.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
