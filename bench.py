@@ -37,8 +37,18 @@ def run_bench() -> dict:
     # Ray's num_cpus alone only caps SCHEDULING SLOTS; io threads, the
     # raylet, plasma and the driver still use every core on the machine,
     # which silently inflates the low-parallelism leg of a scaling pair.
+    # Pin to CPUs drawn from the process's CURRENT allowed set (ADVICE r3):
+    # range(NUM_CPUS) could name offline/disallowed CPUs (OSError) and fixed
+    # low indices risk landing on SMT siblings. Taking every other entry of
+    # the allowed list first (stride 2) spreads the picks across physical
+    # cores on the common sibling layouts; falls back to the full prefix
+    # when the allowed set is too small.
     if os.environ.get("GRAFT_PIN_CPUS") == "1":
-        os.sched_setaffinity(0, set(range(NUM_CPUS)))
+        allowed = sorted(os.sched_getaffinity(0))
+        if len(allowed) > NUM_CPUS:
+            spread = allowed[::2] + allowed[1::2]
+            os.sched_setaffinity(0, set(spread[:NUM_CPUS]))
+        # else: already at or below the requested width — leave affinity alone
 
     import ray
 

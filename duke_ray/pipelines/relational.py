@@ -632,9 +632,10 @@ def clicks_asof_purchases(sf_dir: str) -> "ray.data.Dataset":
     run_id = np.empty(len(latest), np.int64)
     bt = latest["p_ts_us"].to_numpy()
     bi = latest["purchase_id"].to_numpy()
-    cur = (-1, -1)
+    cur = None  # seeded from the first real purchase (no sentinel: ts may be negative)
     for i in range(len(latest)):
-        cur = max(cur, (int(bt[i]), int(bi[i])))
+        cand = (int(bt[i]), int(bi[i]))
+        cur = cand if cur is None or cand > cur else cur
         run_ts[i], run_id[i] = cur
     carry_ref = _ray.put((p_buckets, run_ts, run_id))
 
@@ -648,7 +649,9 @@ def clicks_asof_purchases(sf_dir: str) -> "ray.data.Dataset":
         c_ts, c_id, c_bk = ts[is_click], eid[is_click], bk[is_click]
         if c_ts.size == 0:
             return empty
-        neg = np.int64(-1)
+        # candidate presence is tracked with explicit boolean masks, NOT a
+        # -1 ts sentinel: legitimately negative (pre-epoch) purchase
+        # timestamps must stay matchable (ADVICE r3).
         # partition-local candidate: latest purchase (ts, id) with ts < c_ts.
         # Buckets are disjoint ts ranges, so this never pulls from a LATER
         # bucket; earlier-bucket locals are dominated by the carry's max.
@@ -657,28 +660,34 @@ def clicks_asof_purchases(sf_dir: str) -> "ray.data.Dataset":
             order = np.lexsort((p_id, p_ts))
             p_ts, p_id = p_ts[order], p_id[order]
             idx = np.searchsorted(p_ts, c_ts, side="left") - 1
-            has = idx >= 0
+            loc_has = idx >= 0
             safe = np.clip(idx, 0, None)
-            loc_ts = np.where(has, p_ts[safe], neg)
-            loc_id = np.where(has, p_id[safe], neg)
+            loc_ts = p_ts[safe]
+            loc_id = p_id[safe]
         else:
-            loc_ts = np.full(c_ts.size, neg)
-            loc_id = np.full(c_ts.size, neg)
+            loc_has = np.zeros(c_ts.size, dtype=bool)
+            loc_ts = np.zeros(c_ts.size, dtype=np.int64)
+            loc_id = np.zeros(c_ts.size, dtype=np.int64)
         # global carry: latest purchase in buckets strictly before c_bk
         # (fetched from plasma once per worker process, not per partition)
         pb, rts, rid = _asof_carry(carry_ref)
         if pb.size:
             j = np.searchsorted(pb, c_bk, side="left") - 1
-            has = j >= 0
+            car_has = j >= 0
             safe = np.clip(j, 0, None)
-            car_ts = np.where(has, rts[safe], neg)
-            car_id = np.where(has, rid[safe], neg)
+            car_ts = rts[safe]
+            car_id = rid[safe]
         else:
-            car_ts = np.full(c_ts.size, neg)
-            car_id = np.full(c_ts.size, neg)
-        use_car = (car_ts > loc_ts) | ((car_ts == loc_ts) & (car_id > loc_id))
+            car_has = np.zeros(c_ts.size, dtype=bool)
+            car_ts = np.zeros(c_ts.size, dtype=np.int64)
+            car_id = np.zeros(c_ts.size, dtype=np.int64)
+        use_car = car_has & (
+            ~loc_has
+            | (car_ts > loc_ts)
+            | ((car_ts == loc_ts) & (car_id > loc_id))
+        )
         out_id = np.where(use_car, car_id, loc_id)
-        ok = (loc_ts >= 0) | (car_ts >= 0)
+        ok = loc_has | car_has
         return pa.table({"event_id": pa.array(c_id[ok], pa.int64()),
                          "purchase_id": pa.array(out_id[ok], pa.int64())})
 

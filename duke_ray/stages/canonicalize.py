@@ -246,13 +246,3 @@ def canonicalize_triples_approx(triples: "ray.data.Dataset", p: int = 12) -> "ra
         )
 
     return merged.map_batches(split_est, batch_format="pyarrow")
-
-
-def exact_dedup_first(ds: "ray.data.Dataset", key: list[str] | str) -> "ray.data.Dataset":
-    """Exact dedup: hash-partition on ``key``, keep the first row per group
-    (deterministic tie-break: lexicographically smallest of the remaining
-    columns is NOT guaranteed — callers needing determinism should pass a
-    pre-sorted or keyed dataset; see dedup.py for the deterministic variant).
-    """
-    keys = [key] if isinstance(key, str) else list(key)
-    return ds.groupby(keys).map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")

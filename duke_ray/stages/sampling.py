@@ -26,7 +26,13 @@ def _md5_hex(ids: pa.Array, n_hex: int) -> np.ndarray:
     if isinstance(s, pa.ChunkedArray):
         s = s.combine_chunks()
     buf = s.buffers()[2]
-    offs = np.frombuffer(s.buffers()[1], dtype=np.int32, count=len(s) + 1)
+    # the offsets buffer is indexed from the ARRAY's offset, not 0: a sliced
+    # array (offset != 0 — e.g. when id_col is already string-typed and the
+    # cast is a no-op over a sliced batch) shares its parent's buffers, and
+    # ignoring s.offset would hash the wrong byte ranges (ADVICE r3).
+    offs = np.frombuffer(s.buffers()[1], dtype=np.int32, count=s.offset + len(s) + 1)[
+        s.offset :
+    ]
     mv = memoryview(buf)
     out = np.empty(len(s), dtype=f"<U{n_hex}")
     for i in range(len(s)):
@@ -44,7 +50,15 @@ def hash_sample(
     """Deterministic Bernoulli sample: keep rows whose md5(str(id)) hex
     prefix is below ``rate_256``/256 (granularity 1/256). Pure function of
     the key — reproducible across runs and cluster sizes, embarrassingly
-    parallel, and expressible in SQL (md5 + substring) for the oracle."""
+    parallel, and expressible in SQL (md5 + substring) for the oracle.
+
+    ``rate_256 >= 256`` keeps everything (short-circuit: a 3-hex-char bound
+    would otherwise compare lexicographically against 2-char prefixes and
+    silently invert to ~1/16 — ADVICE r3); negative rates are an error."""
+    if rate_256 < 0:
+        raise ValueError(f"rate_256 must be >= 0, got {rate_256}")
+    if rate_256 >= 256:
+        return docs
     bound = f"{rate_256:02x}"
 
     def per_batch(batch: pa.Table) -> pa.Table:
@@ -135,7 +149,14 @@ def token_budget_head(
             }
         )
 
-    with_counts = docs.map_batches(counts, batch_format="pyarrow", batch_size=16384)
+    # materialized: the counted rows feed BOTH the per-bucket aggregate below
+    # and the final partitioned_reduce — without this the lazy dataset would
+    # re-run the tokenize+count corpus pass twice (ADVICE r3). The cost is
+    # holding (doc_id, n_tokens) — 16 bytes/doc — in the object store, far
+    # below the corpus it derives from.
+    with_counts = docs.map_batches(
+        counts, batch_format="pyarrow", batch_size=16384
+    ).materialize()
 
     def bucket_partial(batch: pa.Table) -> pa.Table:
         b = pc.divide(batch["doc_id"], pa.scalar(bucket_size, pa.int64()))

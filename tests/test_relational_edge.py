@@ -72,6 +72,22 @@ def test_asof_latest_purchase_tiebreak(ray_session, tmp_path):
     assert got == {3: 2, 4: 2}
 
 
+def test_asof_pre_epoch_timestamps(ray_session, tmp_path):
+    """Negative (pre-epoch) purchase timestamps must stay matchable — the
+    merge tracks candidate presence with masks, not a -1 ts sentinel
+    (ADVICE r3)."""
+    rows = [
+        (1, -5 * HOUR_US, 1, "purchase", 1.0),   # pre-epoch purchase
+        (2, -5 * HOUR_US + 10, 1, "click", 1.0),  # same (negative) bucket -> 1
+        (3, -2 * HOUR_US, 1, "click", 1.0),       # later negative bucket, via carry -> 1
+        (4, BASE, 1, "click", 1.0),               # far later, via carry -> 1
+        (5, -6 * HOUR_US, 2, "click", 1.0),       # before the purchase -> dropped
+    ]
+    sf = _write_events(tmp_path, rows)
+    got = {r["event_id"]: r["purchase_id"] for r in clicks_asof_purchases(sf).take_all()}
+    assert got == {2: 1, 3: 1, 4: 1}
+
+
 def test_asof_matches_pandas_merge_asof(ray_session, tmp_path):
     """Randomized cross-check vs pandas merge_asof over many buckets."""
     gen = np.random.Generator(np.random.Philox(key=42))

@@ -30,6 +30,32 @@ def test_hash_sample_matches_direct_md5(ray_session, docs_table):
     assert 0.15 < len(want) / len(ids) < 0.35
 
 
+def test_hash_sample_rate_bounds(ray_session, docs_table):
+    """rate_256 >= 256 keeps everything; negative rates raise (ADVICE r3:
+    a 3-hex bound vs 2-char prefixes silently inverted 'keep all' to ~1/16)."""
+    ds = ray.data.from_arrow(docs_table)
+    assert hash_sample(ds, rate_256=256).count() == docs_table.num_rows
+    assert hash_sample(ds, rate_256=1000).count() == docs_table.num_rows
+    assert hash_sample(ds, rate_256=0).count() == 0
+    with pytest.raises(ValueError):
+        hash_sample(ds, rate_256=-1)
+
+
+def test_md5_hex_respects_array_offset():
+    """A sliced string array (offset != 0) must hash each row's own bytes —
+    the offsets buffer is shared with the parent array (ADVICE r3)."""
+    import pyarrow as pa
+
+    from duke_ray.stages.sampling import _md5_hex
+
+    full = pa.array([str(i) for i in range(100)], pa.string())
+    sliced = full.slice(37, 41)
+    assert sliced.offset == 37
+    got = _md5_hex(sliced, 32)
+    want = [hashlib.md5(str(i).encode()).hexdigest() for i in range(37, 78)]
+    assert list(got) == want
+
+
 def test_hash_sample_stable_across_partitionings(ray_session, docs_table):
     """Pure function of the key: any block layout yields the same subset."""
     a = ray.data.from_arrow(docs_table)
