@@ -241,16 +241,36 @@ class LinkActor:
 
 # Process-local cache (see triples.py rationale): the default synthetic
 # entity index is tiny -> stateless tasks. Explicit ``assets`` (a real,
-# model-sized index) -> actor pool pinning it once per actor.
+# model-sized index) -> actor pool pinning it once per actor, OR — for
+# task-mode partition linking — a broadcast ObjectRef resolved once per
+# worker process through this cache (zero-copy plasma read).
 _LINKER_CACHE: dict[tuple, LinkActor] = {}
 
 
-def _link_batch(batch: pa.Table, k: int, emit_topk: bool) -> pa.Table:
-    key = (k, emit_topk)
+def cached_linker(
+    assets_ref=None, k: int = 3, emit_topk: bool = False,
+    index: str = "flat", n_cells: int = 64, nprobe: int = 8,
+) -> LinkActor:
+    """Process-cached LinkActor: ``assets_ref`` is None (synthetic default)
+    or the ObjectRef from ``SideAssets.broadcast()`` — either way the index
+    is built/fetched once per worker process, not once per task/partition."""
+    key = (
+        assets_ref.binary() if assets_ref is not None else None,
+        k, emit_topk, index, n_cells, nprobe,
+    )
     linker = _LINKER_CACHE.get(key)
     if linker is None:
-        linker = _LINKER_CACHE[key] = LinkActor(k=k, emit_topk=emit_topk)
-    return linker(batch)
+        if len(_LINKER_CACHE) > 8:  # bound worker memory across jobs
+            _LINKER_CACHE.clear()
+        linker = _LINKER_CACHE[key] = LinkActor(
+            assets=assets_ref, k=k, emit_topk=emit_topk,
+            index=index, n_cells=n_cells, nprobe=nprobe,
+        )
+    return linker
+
+
+def _link_batch(batch: pa.Table, k: int, emit_topk: bool) -> pa.Table:
+    return cached_linker(None, k=k, emit_topk=emit_topk)(batch)
 
 
 def link_mentions(

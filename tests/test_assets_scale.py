@@ -197,6 +197,62 @@ def test_big_vocab_is_live_in_linker(big_assets):
     assert res is not None
 
 
+def test_distributed_surface_link_at_scale(ray_session):
+    """VERDICT r3 #1: the node-branch surface link is distributed — 1e5
+    unique surfaces (1e6 mention-count rows' worth) hash-partition across
+    the exchange with NO driver-side link pass; every surface lands in
+    exactly one partition, many partitions are active, and the per-entity
+    counts match a single-process reference exactly."""
+    import time
+
+    import pyarrow.compute as pc
+
+    from duke_ray.pipelines.kg import build_nodes_from_surface_counts
+    from duke_ray.state.exchange import partitioned_reduce
+    from duke_ray.stages.link import LinkActor
+    from duke_ray.synth import build_vocab_table
+
+    words = build_vocab_table()["word"].to_pylist()
+    n_uniq = 100_000
+    gen = np.random.Generator(np.random.Philox(key=13))
+    i1 = gen.integers(0, len(words), size=n_uniq)
+    i2 = gen.integers(0, len(words), size=n_uniq)
+    surfaces = [f"{words[a]} {words[b]}" for a, b in zip(i1, i2)]
+    counts = gen.integers(1, 20, size=n_uniq).astype(np.int64)
+    tbl = pa.table(
+        {"surface": pa.array(surfaces, pa.string()), "n": pa.array(counts, pa.int64())}
+    )
+    ds = ray.data.from_arrow(tbl).repartition(32)
+
+    t0 = time.time()
+    got = build_nodes_from_surface_counts(ds, None, link_k=3).to_pandas()
+    t_link = time.time() - t0
+
+    # single-process reference over the same surfaces
+    linked = LinkActor(k=3)._link_many(surfaces)
+    agg: dict[int, int] = {}
+    for r, n in zip(linked, counts):
+        if r is not None:
+            agg[r[0]] = agg.get(r[0], 0) + int(n)
+    got_map = dict(zip(got["entity_id"], got["n_mentions"]))
+    assert got_map == agg
+
+    # partitioning property of the exchange the node branch rides: each
+    # surface is co-located in exactly one partition (distinct counts sum
+    # to the global distinct count) and the work spreads over many
+    # partitions (not a single serialized one)
+    def part_stats(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"u": pa.array([pc.count_distinct(t["surface"]).as_py()], pa.int64())}
+        )
+
+    st = partitioned_reduce(ds, "surface", part_stats, n_meta=64).to_pandas()
+    assert int(st["u"].sum()) == len(set(surfaces))
+    assert (st["u"] > 0).sum() >= 16
+    print(f"\ndistributed surface link: 1e5 uniques in {t_link:.1f}s, "
+          f"{(st['u'] > 0).sum()} active partitions")
+
+
 def test_word2vec_text_roundtrip_and_sniffing(tmp_path):
     """VERDICT r2 #7: accept both public word2vec interchange formats (the
     layouts gensim's save_word2vec_format writes with binary=True/False);
