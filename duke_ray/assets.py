@@ -50,7 +50,16 @@ def load_word2vec_binary(path: str, limit: int | None = None) -> "pa.Table":
         Word2Vec.load("en.model").wv.save_word2vec_format(
             "en.bin", binary=True)   # or binary=False for the text format
 
-    and load the result here (``load_word2vec`` sniffs binary vs text)."""
+    and load the result here (``load_word2vec`` sniffs binary vs text).
+
+    Bulk-parsed (VERDICT r3 #6): the per-word Python touches only the
+    record FRAMING (one C-level ``mm.find`` per word — word lengths vary,
+    so boundaries are inherently sequential, ~0.7 s/1e6 words); the payload
+    moves in two vectorized gathers — an alignment-residue u32 fancy-index
+    pulling every vector into the ``(n, dim)`` float32 matrix, and a
+    ranges-trick gather building the word column as a single Arrow utf8
+    array. A 1e6-word vocab loads in ~5-20 s on the shared VM (was minutes
+    with the per-word parse; timed in tests/test_assets_scale.py)."""
     import pyarrow as pa
 
     from .functions.vector import matrix_to_fixed_list
@@ -59,48 +68,121 @@ def load_word2vec_binary(path: str, limit: int | None = None) -> "pa.Table":
 
     with open(path, "rb") as f:
         mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        raw = u32 = None
         try:
             nl = mm.find(b"\n")
             n_words, dim = (int(x) for x in mm[:nl].split())
             if limit is not None:
                 n_words = min(n_words, limit)
-            words: list[str] = []
-            mat = np.empty((n_words, dim), dtype=np.float32)
             vec_bytes = 4 * dim
+            starts = np.empty(n_words, dtype=np.int64)
+            ends = np.empty(n_words, dtype=np.int64)
             off = nl + 1
+            find = mm.find
             for i in range(n_words):
-                sp = mm.find(b" ", off)
-                wb = mm[off:sp]
-                if wb.startswith(b"\n"):  # some writers emit a newline per row
-                    wb = wb[1:]
-                words.append(wb.decode("utf-8", errors="replace"))
-                mat[i] = np.frombuffer(mm, dtype="<f4", count=dim, offset=sp + 1)
+                sp = find(b" ", off)
+                starts[i] = off
+                ends[i] = sp
                 off = sp + 1 + vec_bytes
+            raw = np.frombuffer(mm, dtype=np.uint8, count=off)
+            # some writers emit a newline per row: strip it from the word
+            starts = starts + (raw[starts] == 0x0A)
+            lens = ends - starts
+
+            # alignment-residue u32 gather. Byte-granularity fancy indexing
+            # moves one index entry per BYTE (4*dim per word) and measured
+            # 78 s at 1e6 x 100-d; a per-row memcpy loop, 47 s. Payload
+            # starts sit at arbitrary byte offsets, but within the residue
+            # class r = start % 4 every payload is u32-aligned in a view
+            # shifted by r, so the gather moves 4-byte words with a
+            # dim-wide index: 4.5 s for the same vocab. Chunked so the
+            # int64 index stays bounded regardless of vocab size.
+            mat = np.empty((n_words, dim), dtype="<f4")
+            mat_u32 = mat.view(np.uint32)
+            col = np.arange(dim, dtype=np.int64)
+            vpos = ends + 1
+            chunk = max(1, (64 << 20) // max(dim * 8, 1))
+            for r in range(4):
+                rows = np.flatnonzero((vpos & 3) == r)
+                if rows.size == 0:
+                    continue
+                u32 = raw[r : r + ((len(raw) - r) & ~3)].view(np.uint32)
+                base = (vpos[rows] - r) >> 2
+                for i in range(0, rows.size, chunk):
+                    idx = base[i : i + chunk][:, None] + col
+                    mat_u32[rows[i : i + chunk]] = u32[idx]
+
+            woffs = np.zeros(n_words + 1, dtype=np.int32)
+            np.cumsum(lens, out=woffs[1:])
+            flat = np.repeat(starts - woffs[:-1].astype(np.int64), lens) + np.arange(
+                int(woffs[-1]), dtype=np.int64
+            )
+            data = raw[flat].tobytes()
+            try:
+                words_arr = pa.Array.from_buffers(
+                    pa.binary(), n_words, [None, pa.py_buffer(woffs.tobytes()), pa.py_buffer(data)]
+                ).cast(pa.string())  # binary->utf8 cast validates encoding
+            except pa.ArrowInvalid:
+                words_arr = pa.array(
+                    [
+                        bytes(raw[s:e]).decode("utf-8", errors="replace")
+                        for s, e in zip(starts.tolist(), ends.tolist())
+                    ],
+                    pa.string(),
+                )
         finally:
+            raw = u32 = None  # release mmap-backed views before closing the map
             mm.close()
-    return pa.table({"word": pa.array(words, pa.string()), "vector": matrix_to_fixed_list(mat)})
+    return pa.table({"word": words_arr, "vector": matrix_to_fixed_list(np.ascontiguousarray(mat))})
 
 
 def load_word2vec_text(path: str, limit: int | None = None) -> "pa.Table":
     """Parse the word2vec TEXT interchange format (``binary=False`` in both
     the original distribution and gensim's ``save_word2vec_format``): header
     ``"<vocab_size> <dim>"`` then one ``"word v1 v2 ... vD"`` line per
-    entry. Same output schema as ``load_word2vec_binary``."""
+    entry. Same output schema as ``load_word2vec_binary``.
+
+    Bulk-parsed (VERDICT r3 #6) through pandas' C CSV engine (one pass, no
+    per-line Python); falls back to a per-line loop only if the fast parse
+    rejects the file (e.g. ragged rows)."""
     import pyarrow as pa
 
     from .functions.vector import matrix_to_fixed_list
 
     with open(path, "rb") as f:
         n_words, dim = (int(x) for x in f.readline().split())
-        if limit is not None:
-            n_words = min(n_words, limit)
-        words: list[str] = []
+    if limit is not None:
+        n_words = min(n_words, limit)
+    try:
+        import pandas as pd
+
+        df = pd.read_csv(
+            path,
+            sep=" ",
+            skiprows=1,
+            header=None,
+            nrows=n_words,
+            usecols=range(dim + 1),
+            quoting=3,  # QUOTE_NONE: words may contain quote chars
+            na_filter=False,  # keep 'nan'/'null' words as strings
+            dtype=dict.fromkeys(range(1, dim + 1), np.float32) | {0: str},
+            encoding="utf-8",
+            encoding_errors="replace",
+        )
+        words = pa.array(df[0], pa.string())
+        mat = np.ascontiguousarray(df.iloc[:, 1:].to_numpy(dtype=np.float32))
+        return pa.table({"word": words, "vector": matrix_to_fixed_list(mat)})
+    except (ValueError, pd.errors.ParserError):
+        pass
+    with open(path, "rb") as f:
+        f.readline()
+        word_list: list[str] = []
         mat = np.empty((n_words, dim), dtype=np.float32)
         for i in range(n_words):
             parts = f.readline().rstrip(b"\n").split(b" ")
-            words.append(parts[0].decode("utf-8", errors="replace"))
+            word_list.append(parts[0].decode("utf-8", errors="replace"))
             mat[i] = np.array(parts[1 : dim + 1], dtype=np.float32)
-    return pa.table({"word": pa.array(words, pa.string()), "vector": matrix_to_fixed_list(mat)})
+    return pa.table({"word": pa.array(word_list, pa.string()), "vector": matrix_to_fixed_list(mat)})
 
 
 _GENSIM_UNPICKLE_ALLOWED = {"numpy", "collections", "builtins", "copyreg"}
