@@ -295,6 +295,46 @@ def extract_kg_partials(
     return extracted.map_batches(_partials_batch, batch_format="pyarrow", batch_size=batch_size)
 
 
+def _combine_partials_block(b: pa.Table) -> pa.Table:
+    g = b.group_by(["kind", "surface", "subj", "pred", "obj"]).aggregate(
+        [("n", "sum"), ("pages", "sum")]
+    )
+    return pa.table(
+        {
+            "kind": g["kind"],
+            "surface": g["surface"],
+            "subj": g["subj"],
+            "pred": g["pred"],
+            "obj": g["obj"],
+            "n": g["n_sum"].cast(pa.int64()),
+            # all-null groups (kind=m rows) sum to null, preserving the
+            # tagged-union schema byte-for-byte
+            "pages": g["pages_sum"].cast(pa.int64()),
+        }
+    )
+
+
+def combine_kg_partials(partials: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-BLOCK combine of tagged KG partials: collapse the
+    per-extraction-batch rows within each task's output block to one row per
+    key. Exact (sums of per-batch sums are sums).
+
+    ``extract_kg_partials`` emits one partial row per key per extraction
+    BATCH (~4096 pages), so a 10M-page corpus carries ~2400x |unique keys|
+    rows into the checkpoint and the canonicalize exchange. Each extraction
+    TASK spans ~10 batches; combining at block granularity cuts checkpoint
+    and shuffle volume by that factor for one C++ ``group_by`` per block.
+    Runs UNFUSED (``ray_remote_args_fn`` blocks operator fusion — see
+    sources/tables.py): fused, its ``batch_size=None`` would see single
+    upstream batches (already combined) instead of whole per-task blocks."""
+    return partials.map_batches(
+        _combine_partials_block,
+        batch_format="pyarrow",
+        batch_size=None,
+        ray_remote_args_fn=dict,
+    )
+
+
 def extract_mentions(
     extracted: "ray.data.Dataset",
     batch_size: int = 4096,

@@ -71,7 +71,10 @@ def partitioned_reduce(
     def add_meta(batch: pa.Table) -> pa.Table:
         return batch.append_column("meta", pa.array(_meta_of(batch, keys, n_meta), pa.int32()))
 
-    with_meta = ds.map_batches(add_meta, batch_format="pyarrow")
+    # batch_size=65536: callers feed partial/metadata-sized rows; the
+    # default 1024-row bundling would otherwise split tiny materialized
+    # blocks into hundreds of single-block tasks (task launch dominates)
+    with_meta = ds.map_batches(add_meta, batch_format="pyarrow", batch_size=65536)
     return with_meta.groupby("meta").map_groups(
         lambda g: reduce_partition(g.drop_columns(["meta"])), batch_format="pyarrow"
     )

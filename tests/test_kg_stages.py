@@ -224,3 +224,47 @@ def test_kg_partials_match_raw_extraction(ray_session, sf_dir):
     got_surf["n"] = got_surf["n"].astype("int64")
     want_surf["n"] = want_surf["n"].astype("int64")
     pd.testing.assert_frame_equal(got_surf, want_surf)
+
+
+def test_combine_kg_partials_equivalent(ray_session, sf_dir):
+    """Per-block combine is exact: combined partials canonicalize to the
+    same table as raw per-batch partials, with strictly fewer (or equal)
+    rows and an unchanged tagged-union schema."""
+    from duke_ray.sources import read_pages
+    from duke_ray.stages.extract import extract_text
+    from duke_ray.stages.triples import combine_kg_partials, extract_kg_partials
+    from duke_ray.stages.canonicalize import canonicalize_from_partials
+
+    extracted = extract_text(read_pages(sf_dir, replicas=2)).materialize()
+    raw = extract_kg_partials(extracted, batch_size=32).materialize()
+    combined = combine_kg_partials(extract_kg_partials(extracted, batch_size=32)).materialize()
+
+    assert combined.schema().names == raw.schema().names
+    assert combined.count() <= raw.count()
+
+    def canon(parts):
+        return (
+            canonicalize_from_partials(
+                parts.filter(lambda r: r["kind"] == "t").select_columns(
+                    ["subj", "pred", "obj", "n", "pages"]
+                )
+            )
+            .to_pandas()
+            .sort_values(["subj", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(canon(combined), canon(raw))
+
+    def surf(parts):
+        return (
+            parts.filter(lambda r: r["kind"] == "m")
+            .select_columns(["surface", "n"])
+            .groupby("surface")
+            .sum("n")
+            .to_pandas()
+            .sort_values("surface")
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(surf(combined), surf(raw))
