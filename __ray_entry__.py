@@ -503,6 +503,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dedup_clusters_minhash"] = dedup_clusters_minhash
 
+    def varied_dedup_pairs(sf):
+        """Near-dup pairs over the VARIED endurance corpus (rows-only: the
+        corpus is synthesized in-engine). ``read_documents_varied`` rewrites
+        every 3rd token per (doc, replica) seed, so non-planted trigram
+        Jaccard is EXACTLY 0 and the planted pair set is closed-form —
+        invariants: precision vs planted == 1.0, recall >= 0.93 (97%+ of
+        planted pairs sit above the 0.6 threshold; bench.py --endurance
+        runs the same contract at 10M rows)."""
+        import numpy as np
+
+        from duke_ray.sources import documents_row_count, read_documents_varied
+        from duke_ray.stages.dedup import ngram_jaccard_pairs
+        from duke_ray.synth import is_planted_pair_arrow, planted_pair_ids
+
+        n = documents_row_count(sf)
+        replicas = 12  # planted pairs at r = 1 and 11
+        ds = ngram_jaccard_pairs(
+            read_documents_varied(sf, replicas), threshold=0.6
+        ).materialize()
+        df = ds.to_pandas()
+        ok = np.asarray(is_planted_pair_arrow(df["doc_a"].values, df["doc_b"].values, n))
+        _require(bool(ok.all()), "non-planted pair emitted (precision < 1.0)")
+        planted = planted_pair_ids(n, replicas)
+        _require(len(df) >= 0.93 * planted, f"planted recall {len(df)}/{planted} < 0.93")
+        return ds
+
+    q["varied_dedup_pairs"] = varied_dedup_pairs
+
     # -- similarity search -------------------------------------------------
     def knn_topk(sf):
         import pyarrow.parquet as pq

@@ -134,6 +134,117 @@ def run_bench() -> dict:
     return result
 
 
+def run_endurance() -> dict:
+    """Dedup/ANN endurance at bench scale (VERDICT r3 #7): minhash near-dup,
+    exact n-gram Jaccard + connected-component clustering, and exact dedup
+    over the VARIED corpus (``read_documents_varied``: deterministic token
+    churn, planted near-dup pairs — replica text is NOT identical, so pair
+    counts stay corpus-linear). Every leg carries closed-form invariants:
+    precision vs the planted pair set must be exactly 1.0 (non-planted
+    trigram Jaccard is 0 by construction), recall above a floor set by the
+    planted-pair Jaccard distribution (97.2% >= 0.6, 74.8% >= 0.8 trigram
+    Jaccard at sf0.1), clusters are exactly the found pairs, and no
+    two rows are byte-identical."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("GRAFT_PIN_CPUS") == "1":
+        allowed = sorted(os.sched_getaffinity(0))
+        if len(allowed) > NUM_CPUS:
+            spread = allowed[::2] + allowed[1::2]
+            os.sched_setaffinity(0, set(spread[:NUM_CPUS]))
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR", ignore_reinit_error=True)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from duke_ray.sources import documents_row_count, read_documents_varied
+    from duke_ray.stages.dedup import (
+        cluster_pairs,
+        exact_dedup,
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from duke_ray.synth import is_planted_pair_arrow, planted_pair_ids
+
+    n_docs = documents_row_count(SF_DIR)
+    n_rows = n_docs * REPLICAS
+    planted_total = planted_pair_ids(n_docs, REPLICAS)
+    timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
+
+    def pair_stats(pairs) -> tuple[int, int]:
+        def s(b: pa.Table) -> pa.Table:
+            ok = is_planted_pair_arrow(b["doc_a"], b["doc_b"], n_docs)
+            return pa.table(
+                {
+                    "n": pa.array([b.num_rows], pa.int64()),
+                    "planted": pa.array([int(np.asarray(ok).sum())], pa.int64()),
+                }
+            )
+
+        df = pairs.map_batches(s, batch_format="pyarrow").to_pandas()
+        return int(df["n"].sum()), int(df["planted"].sum())
+
+    t0 = time.time()
+    found, found_planted = pair_stats(
+        minhash_near_dup_pairs(read_documents_varied(SF_DIR, REPLICAS), threshold=0.8)
+    )
+    timings["minhash_pairs"] = round(time.time() - t0, 3)
+    stats["minhash_pairs"] = {
+        "found": found,
+        "planted_total": planted_total,
+        "recall": round(found_planted / max(1, planted_total), 4),
+        "precision": round(found_planted / max(1, found), 4),
+    }
+    assert found == found_planted, "minhash emitted a non-planted pair"
+    assert found_planted / max(1, planted_total) >= 0.65, stats["minhash_pairs"]
+
+    t0 = time.time()
+    pairs = ngram_jaccard_pairs(read_documents_varied(SF_DIR, REPLICAS), threshold=0.6)
+    n_clustered = cluster_pairs(pairs).count()
+    timings["ngram_dedup_clusters"] = round(time.time() - t0, 3)
+    found, found_planted = pair_stats(pairs)
+    stats["ngram_dedup_clusters"] = {
+        "found": found,
+        "planted_total": planted_total,
+        "recall": round(found_planted / max(1, planted_total), 4),
+        "precision": round(found_planted / max(1, found), 4),
+        "clustered_docs": n_clustered,
+    }
+    assert found == found_planted, "ngram emitted a non-planted pair"
+    assert found_planted / max(1, planted_total) >= 0.93, stats["ngram_dedup_clusters"]
+    # planted pairs are doc-disjoint -> every component is one pair
+    assert n_clustered == 2 * found, (n_clustered, found)
+
+    t0 = time.time()
+    n_survivors = exact_dedup(read_documents_varied(SF_DIR, REPLICAS)).count()
+    timings["exact_dedup"] = round(time.time() - t0, 3)
+    stats["exact_dedup"] = {"survivors": n_survivors, "rows": n_rows}
+    assert n_survivors == n_rows, "varied corpus has no exact dups by construction"
+
+    total = sum(timings.values())
+    result = {
+        "metric": "dedup_endurance_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "stats": stats,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicas": REPLICAS,
+        "n_rows": n_rows,
+        "rows_per_sec": round(3 * n_rows / total, 1),
+    }
+    ray.shutdown()
+    return result
+
+
 def run_scaling() -> dict:
     """Same job, same input, fresh ray.init processes at N and 4N CPUs.
 
@@ -193,5 +304,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--endurance" in sys.argv:
+        print(json.dumps(run_endurance()))
     else:
         print(json.dumps(run_bench()))

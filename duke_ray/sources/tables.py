@@ -166,6 +166,81 @@ def read_pages(sf_dir: str, replicas: int = 1) -> "ray.data.Dataset":
     )
 
 
+def read_documents_varied(sf_dir: str, replicas: int = 1) -> "ray.data.Dataset":
+    """documents -> a varied (doc_id, text) corpus for dedup/similarity
+    endurance benches (``synth.varied_documents_batch``: deterministic token
+    churn with planted near-dup pairs; replica text is NOT identical, so
+    near-dup pair counts stay corpus-linear instead of O(replicas^2)).
+
+    Same seed-task layout as :func:`read_pages`: the small documents table
+    is broadcast once and each seed task synthesizes its (doc-chunk x
+    replica-range) slice — parallel from the first task, no 1-task read."""
+    import pyarrow as pa
+
+    import ray
+
+    from ..synth import varied_documents_batch
+
+    n_docs = documents_row_count(sf_dir)
+    path = table_path(sf_dir, "documents")
+
+    ncpu = 8
+    try:
+        if ray.is_initialized():
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        pass
+
+    tbl = pq.read_table(path, columns=["doc_id", "text"])
+    tbl = tbl.replace_schema_metadata(None)
+    if replicas <= 1:
+        n_chunks = min(max(8, 4 * ncpu), max(1, tbl.num_rows))
+        step = -(-tbl.num_rows // n_chunks)
+        base = ray.data.from_arrow([tbl.slice(i, step) for i in range(0, tbl.num_rows, step)])
+        return base.map_batches(
+            lambda b: varied_documents_batch(b, replica=0, n_docs_per_replica=n_docs),
+            batch_format="pyarrow",
+            batch_size=1024,
+            ray_remote_args_fn=dict,
+        )
+
+    docs_ref = ray.put(tbl)
+    n_seeds_target = max(16, 8 * ncpu)
+    n_doc_chunks = max(1, min(-(-tbl.num_rows // 512), n_seeds_target))
+    step = -(-tbl.num_rows // n_doc_chunks)
+    rep_group = max(1, (replicas * n_doc_chunks) // n_seeds_target)
+    seeds = [
+        (c, r0, min(r0 + rep_group, replicas))
+        for c in range(0, tbl.num_rows, step)
+        for r0 in range(0, replicas, rep_group)
+    ]
+    seed_tbl = pa.table(
+        {
+            "off": pa.array([s0 for s0, _, _ in seeds], pa.int64()),
+            "rep_lo": pa.array([a for _, a, _ in seeds], pa.int64()),
+            "rep_hi": pa.array([b for _, _, b in seeds], pa.int64()),
+        }
+    )
+    seed_ds = ray.data.from_arrow([seed_tbl.slice(i, 1) for i in range(len(seeds))])
+
+    def synth_seed(batch: "pa.Table") -> "pa.Table":
+        docs = _docs_broadcast(docs_ref)
+        parts = []
+        for off, lo, hi in zip(
+            batch["off"].to_pylist(), batch["rep_lo"].to_pylist(), batch["rep_hi"].to_pylist()
+        ):
+            sl = docs.slice(off, step)
+            for r in range(lo, hi):
+                parts.append(varied_documents_batch(sl, replica=r, n_docs_per_replica=n_docs))
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+
+    # ray_remote_args_fn blocks fusion so downstream stages bundle over the
+    # EXPANDED corpus blocks, not the seed rows (see read_pages)
+    return seed_ds.map_batches(
+        synth_seed, batch_format="pyarrow", batch_size=1, ray_remote_args_fn=dict
+    )
+
+
 _DOCS_BROADCAST_CACHE: dict = {}
 
 

@@ -120,51 +120,52 @@ def minhash_signatures(text_col, n_perm: int = 64, k: int = 3, seed: int = 7) ->
     return sig
 
 
-class MinHashStage:
-    """documents batch -> (doc_id, band, band_hash) LSH bucket rows."""
-
-    def __init__(self, n_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 7,
-                 id_col: str = "doc_id", text_col: str = "text", emit_sig: bool = True):
-        assert n_perm % bands == 0
-        self.n_perm, self.bands, self.k, self.seed = n_perm, bands, k, seed
-        self.rows_per_band = n_perm // bands
-        self.id_col, self.text_col = id_col, text_col
-        self.emit_sig = emit_sig  # False: candidates-only caller, skip the
-        # 32x-tiled signature column entirely instead of building+dropping it
-        self.a, self.b = _minhash_params(n_perm, seed)
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        sig = minhash_signatures(batch[self.text_col], self.n_perm, self.k, self.seed)
-        n = sig.shape[0]
-        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        # band hashes: fnv-fold each band's slice
-        band_rows = []
-        with np.errstate(over="ignore"):
-            for bi in range(self.bands):
-                seg = sig[:, bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
-                h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
-                for j in range(self.rows_per_band):
-                    h = (h ^ seg[:, j]) * np.uint64(0x100000001B3)
-                band_rows.append(h)
-        band_hash = np.concatenate(band_rows)
-        band_id = np.repeat(np.arange(self.bands, dtype=np.int32), 0) if n == 0 else np.concatenate(
-            [np.full(n, bi, dtype=np.int32) for bi in range(self.bands)]
-        )
-        doc = np.tile(ids, self.bands) if n else ids
-        bh_i64 = band_hash.astype(np.int64).view(np.uint64).astype(np.int64)
-        cols = {
+def _band_rows(sig: np.ndarray, ids: np.ndarray, bands: int) -> pa.Table:
+    """(n, n_perm) signatures -> (meta, band, band_hash, doc_id) LSH bucket
+    rows — fixed-width only; signatures are never tiled across bands (the
+    r3 design shipped the 512-byte signature once per band row, a 16x
+    amplification that hit ~86 GB of shuffle at 10M docs)."""
+    n, n_perm = sig.shape
+    rows_per_band = n_perm // bands
+    band_rows = []
+    with np.errstate(over="ignore"):
+        for bi in range(bands):
+            seg = sig[:, bi * rows_per_band : (bi + 1) * rows_per_band]
+            h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+            for j in range(rows_per_band):
+                h = (h ^ seg[:, j]) * np.uint64(0x100000001B3)
+            band_rows.append(h)
+    band_hash = np.concatenate(band_rows) if n else np.empty(0, np.uint64)
+    band_id = (
+        np.concatenate([np.full(n, bi, dtype=np.int32) for bi in range(bands)])
+        if n
+        else np.empty(0, np.int32)
+    )
+    doc = np.tile(ids, bands) if n else ids
+    bh_i64 = band_hash.view(np.int64)
+    return pa.table(
+        {
             "meta": pa.array(_meta_key(band_id, bh_i64), pa.int32()),
             "band": pa.array(band_id, pa.int32()),
             "band_hash": pa.array(bh_i64, pa.int64()),
             "doc_id": pa.array(doc, pa.int64()),
         }
-        if self.emit_sig:
-            # carry the full signature per (band, doc) for verification downstream
-            cols["sig"] = pa.FixedSizeListArray.from_arrays(
-                pa.array(np.tile(sig, (self.bands, 1)).ravel().astype(np.uint64), pa.uint64()),
-                self.n_perm,
-            ) if n else pa.FixedSizeListArray.from_arrays(pa.array([], pa.uint64()), self.n_perm)
-        return pa.table(cols)
+    )
+
+
+class MinHashStage:
+    """documents batch -> (doc_id, band, band_hash) LSH bucket rows."""
+
+    def __init__(self, n_perm: int = 64, bands: int = 16, k: int = 3, seed: int = 7,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        assert n_perm % bands == 0
+        self.n_perm, self.bands, self.k, self.seed = n_perm, bands, k, seed
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sig = minhash_signatures(batch[self.text_col], self.n_perm, self.k, self.seed)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return _band_rows(sig, ids, self.bands)
 
 
 N_META_GROUPS = 256  # coarse co-location groups: per-call overhead amortizes
@@ -191,44 +192,154 @@ def _runs(sort_keys: list[np.ndarray], boundary_keys: int | None = None) -> tupl
     return order, np.flatnonzero(changed)
 
 
-def _bucket_pairs_meta(group: pd.DataFrame, threshold: float) -> pd.DataFrame:
-    """One meta-group = many LSH buckets: detect same-(band,band_hash) runs
-    vectorized; all-pairs signature agreement only inside multi-doc runs."""
+def _bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
+    """One meta-group = many LSH buckets: emit distinct candidate doc pairs
+    per same-(band,band_hash) run — fixed-width rows only, no signatures."""
+    empty = pd.DataFrame({"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)})
     n = len(group)
-    empty = pd.DataFrame(
-        {"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64),
-         "est_jaccard": np.array([], np.float64)}
-    )
     if n < 2:
         return empty
     band = group["band"].to_numpy()
     bh = group["band_hash"].to_numpy()
-    docs = group["doc_id"].to_numpy()
-    order, starts = _runs([band, bh, docs], boundary_keys=2)
-    sigs = np.stack(group["sig"].to_numpy())
-    out_a, out_b, out_e = [], [], []
+    docs_ = group["doc_id"].to_numpy()
+    order, starts = _runs([band, bh, docs_], boundary_keys=2)
     bounds = np.append(starts, n)
+    out_a, out_b = [], []
     for s, e in zip(bounds[:-1], bounds[1:]):
         if e - s < 2:
             continue
-        idx = order[s:e]
-        d = docs[idx]
-        uniq, first = np.unique(d, return_index=True)
+        uniq = np.unique(docs_[order[s:e]])
         if len(uniq) < 2:
             continue
-        sg = sigs[idx[first]]
         ia, ib = np.triu_indices(len(uniq), k=1)
-        est = (sg[ia] == sg[ib]).mean(axis=1)
-        keep = est >= threshold
-        out_a.append(uniq[ia[keep]])
-        out_b.append(uniq[ib[keep]])
-        out_e.append(est[keep])
+        out_a.append(uniq[ia])
+        out_b.append(uniq[ib])
     if not out_a:
         return empty
-    return pd.DataFrame(
-        {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b),
-         "est_jaccard": np.concatenate(out_e)}
+    return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+
+
+def _lsh_candidate_pairs(buckets: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(meta, band, band_hash, doc_id) bucket rows -> distinct (doc_a, doc_b)
+    candidate pairs (deduped across bands by a partitioned reduce)."""
+    from ..state.exchange import partitioned_reduce
+
+    cand = buckets.groupby("meta").map_groups(_bucket_candidates, batch_format="pandas")
+    return partitioned_reduce(
+        cand, ["doc_a", "doc_b"], lambda t: t.group_by(["doc_a", "doc_b"]).aggregate([])
     )
+
+
+def _set_rows(b: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "node": b["doc_id"].combine_chunks(),
+            "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            "other": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
+            "sh": b["sh"].combine_chunks(),
+        }
+    )
+
+
+def _req_rows(b: pa.Table, key: str, other: str, carried: str | None) -> pa.Table:
+    sh = (
+        b[carried].combine_chunks()
+        if carried is not None
+        else pa.ListArray.from_arrays(
+            pa.array(np.zeros(b.num_rows + 1, np.int32), pa.int32()), pa.array([], pa.int64())
+        )
+    )
+    return pa.table(
+        {
+            "node": b[key].combine_chunks(),
+            "kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            "other": b[other].combine_chunks(),
+            "sh": sh,
+        }
+    )
+
+
+def _deliver_sets(t: pa.Table) -> tuple[pa.Table, pa.ListArray]:
+    """Split partition into set rows / request rows; return (requests
+    table, looked-up set list-array aligned to requests)."""
+    t = t.combine_chunks()
+    kind = t["kind"].to_numpy(zero_copy_only=False)
+    is_set = kind == 0
+    set_t = t.filter(pa.array(is_set))
+    req_t = t.filter(pa.array(~is_set))
+    ln = set_t["node"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ln, kind="stable")
+    ln = ln[order]
+    sh_sorted = set_t["sh"].combine_chunks().take(pa.array(order, pa.int64()))
+    rn = req_t["node"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(ln, rn)
+    if len(ln):
+        ok = (pos < len(ln)) & (ln[pos.clip(max=len(ln) - 1)] == rn)
+    else:
+        ok = np.zeros(len(rn), dtype=bool)
+    req_t = req_t.filter(pa.array(ok))
+    taken = sh_sorted.take(pa.array(pos[ok], pa.int64()))
+    return req_t, taken
+
+
+def _verified_pairs(
+    sets: "ray.data.Dataset",
+    cand: "ray.data.Dataset",
+    pair_value,
+    threshold: float,
+    val_name: str,
+) -> "ray.data.Dataset":
+    """Deliver each candidate pair both docs' per-doc value lists via two
+    hash-partitioned exchanges (each doc's list crosses the wire once per
+    exchange, NOT once per band) and keep pairs with
+    ``pair_value(list_a, list_b) >= threshold``.
+
+    ``sets``: (doc_id, sh list<int64>) — shingle sets or signatures;
+    ``pair_value(sa, sb) -> np.ndarray`` is vectorized across pairs."""
+    from ..state.exchange import partitioned_reduce
+
+    def exchange_a(t: pa.Table) -> pa.Table:
+        req_t, taken = _deliver_sets(t)
+        return pa.table(
+            {"doc_b": req_t["other"], "doc_a": req_t["node"], "sh_a": taken}
+        )
+
+    def exchange_b(t: pa.Table) -> pa.Table:
+        req_t, taken = _deliver_sets(t)
+        doc_a = req_t["other"].to_numpy(zero_copy_only=False)
+        doc_b = req_t["node"].to_numpy(zero_copy_only=False)
+        sh_a = req_t["sh"].combine_chunks()
+        val = pair_value(sh_a, taken)
+        keep = val >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a[keep], pa.int64()),
+                "doc_b": pa.array(doc_b[keep], pa.int64()),
+                val_name: pa.array(val[keep], pa.float64()),
+            }
+        )
+
+    # Exchange 1 keyed on doc_a: deliver value-list(doc_a) to each pair.
+    req1 = cand.map_batches(lambda b: _req_rows(b, "doc_a", "doc_b", None), batch_format="pyarrow")
+    sets1 = sets.map_batches(_set_rows, batch_format="pyarrow")
+    with_a = partitioned_reduce(sets1.union(req1), "node", exchange_a)
+    # Exchange 2 keyed on doc_b: deliver value-list(doc_b), verify.
+    req2 = with_a.map_batches(lambda b: _req_rows(b, "doc_b", "doc_a", "sh_a"), batch_format="pyarrow")
+    sets2 = sets.map_batches(_set_rows, batch_format="pyarrow")
+    return partitioned_reduce(sets2.union(req2), "node", exchange_b)
+
+
+def _sig_agreement(sa: pa.ListArray, sb: pa.ListArray) -> np.ndarray:
+    """Fraction of agreeing MinHash permutations per pair (fixed-length
+    signature lists)."""
+    n = len(sa)
+    if n == 0:
+        return np.empty(0, np.float64)
+    oa = sa.offsets.to_numpy(zero_copy_only=False)
+    ob = sb.offsets.to_numpy(zero_copy_only=False)
+    va = sa.values.to_numpy(zero_copy_only=False)[oa[0] : oa[-1]].reshape(n, -1)
+    vb = sb.values.to_numpy(zero_copy_only=False)[ob[0] : ob[-1]].reshape(n, -1)
+    return (va == vb).mean(axis=1)
 
 
 def minhash_near_dup_pairs(
@@ -242,18 +353,52 @@ def minhash_near_dup_pairs(
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard >= threshold).
 
-    Pairs surfacing in multiple buckets are deduplicated by a final grouped
-    max (same estimate each time, max is a no-op but makes the reduce total).
+    Same two-pass topology as :func:`ngram_jaccard_pairs` (r4 — the
+    in-bucket verifier shipped the 512-byte signature once per band row, a
+    16x amplification that reached ~86 GB of shuffle at 10M docs): the
+    signature table is computed ONCE from the corpus (one tokenize+shingle
+    pass), band rows derive from it fixed-width, and candidate pairs get
+    both signatures via two hash-partitioned exchanges — each signature
+    crosses the wire once per exchange. Output pairs are distinct by
+    construction (candidates are deduped across bands before verification).
     """
-    buckets = docs.map_batches(
-        MinHashStage(n_perm=n_perm, bands=bands, k=k, id_col=id_col, text_col=text_col),
+    sigs = docs.map_batches(
+        lambda b: _minhash_sig_rows(b, n_perm, k, id_col, text_col),
         batch_format="pyarrow",
         batch_size=4096,
+    ).materialize()
+    buckets = sigs.map_batches(
+        lambda b: _band_rows_from_sigs(b, bands), batch_format="pyarrow", batch_size=4096
     )
-    pairs = buckets.groupby("meta").map_groups(
-        lambda g: _bucket_pairs_meta(g, threshold), batch_format="pandas"
+    cand = _lsh_candidate_pairs(buckets)
+    return _verified_pairs(sigs, cand, _sig_agreement, threshold, "est_jaccard")
+
+
+def _minhash_sig_rows(batch: pa.Table, n_perm: int, k: int, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, sh) — per-doc MinHash signature as a fixed-length list<int64>
+    (uint64 bit pattern viewed as int64 for Arrow transport)."""
+    sig = minhash_signatures(batch[text_col], n_perm, k)
+    n = sig.shape[0]
+    return pa.table(
+        {
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "sh": pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * n_perm, n_perm, dtype=np.int32), pa.int32()),
+                pa.array(sig.ravel().view(np.int64), pa.int64()),
+            ),
+        }
     )
-    return _dedupe_pairs(pairs, "est_jaccard", "max")
+
+
+def _band_rows_from_sigs(batch: pa.Table, bands: int) -> pa.Table:
+    sh = batch["sh"].combine_chunks()
+    n = len(sh)
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if n == 0:
+        return _band_rows(np.empty((0, bands), np.uint64), ids, bands)
+    off = sh.offsets.to_numpy(zero_copy_only=False)
+    sig = sh.values.to_numpy(zero_copy_only=False)[off[0] : off[-1]].view(np.uint64).reshape(n, -1)
+    return _band_rows(sig, ids, bands)
 
 
 def _dedupe_pairs(pairs: "ray.data.Dataset", val_col: str, how: str) -> "ray.data.Dataset":
@@ -514,44 +659,14 @@ def ngram_jaccard_pairs(
     amplification): pass 1 ships only fixed-width (band, band_hash, doc_id)
     LSH rows to find candidate pairs; pass 2 delivers each doc's distinct
     shingle-hash set to its candidate pairs via two hash-partitioned
-    exchanges — each set crosses the wire once per exchange (2x total), not
-    once per band (32x) — then verifies exact Jaccard vectorized across all
-    pairs of a partition. Recall is the LSH guarantee (64 perms / 32 bands:
-    miss probability < 1e-6 at threshold 0.6)."""
-    from ..state.exchange import partitioned_reduce
-
-    mh = MinHashStage(n_perm=64, bands=32, k=k, id_col=id_col, text_col=text_col, emit_sig=False)
-
+    exchanges (``_verified_pairs``) — each set crosses the wire once per
+    exchange (2x total), not once per band (32x) — then verifies exact
+    Jaccard vectorized across all pairs of a partition. Recall is the LSH
+    guarantee (64 perms / 32 bands: miss probability < 1e-6 at threshold
+    0.6)."""
+    mh = MinHashStage(n_perm=64, bands=32, k=k, id_col=id_col, text_col=text_col)
     buckets = docs.map_batches(mh, batch_format="pyarrow", batch_size=4096)
-
-    def bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)})
-        n = len(group)
-        if n < 2:
-            return empty
-        band = group["band"].to_numpy()
-        bh = group["band_hash"].to_numpy()
-        docs_ = group["doc_id"].to_numpy()
-        order, starts = _runs([band, bh, docs_], boundary_keys=2)
-        bounds = np.append(starts, n)
-        out_a, out_b = [], []
-        for s, e in zip(bounds[:-1], bounds[1:]):
-            if e - s < 2:
-                continue
-            uniq = np.unique(docs_[order[s:e]])
-            if len(uniq) < 2:
-                continue
-            ia, ib = np.triu_indices(len(uniq), k=1)
-            out_a.append(uniq[ia])
-            out_b.append(uniq[ib])
-        if not out_a:
-            return empty
-        return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
-
-    cand = buckets.groupby("meta").map_groups(bucket_candidates, batch_format="pandas")
-    cand = partitioned_reduce(
-        cand, ["doc_a", "doc_b"], lambda t: t.group_by(["doc_a", "doc_b"]).aggregate([])
-    )
+    cand = _lsh_candidate_pairs(buckets)
 
     # materialized: the set dataset feeds BOTH exchanges — without the
     # snapshot the tokenize+shingle+dedup stage would execute twice (and
@@ -561,89 +676,7 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow",
         batch_size=2048,
     ).materialize()
-
-    def _set_rows(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": b["doc_id"].combine_chunks(),
-                "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
-                "other": pa.array(np.full(b.num_rows, -1, np.int64), pa.int64()),
-                "sh": b["sh"].combine_chunks(),
-            }
-        )
-
-    def _req_rows(b: pa.Table, key: str, other: str, carried: str | None) -> pa.Table:
-        sh = (
-            b[carried].combine_chunks()
-            if carried is not None
-            else pa.ListArray.from_arrays(
-                pa.array(np.zeros(b.num_rows + 1, np.int32), pa.int32()), pa.array([], pa.int64())
-            )
-        )
-        return pa.table(
-            {
-                "node": b[key].combine_chunks(),
-                "kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
-                "other": b[other].combine_chunks(),
-                "sh": sh,
-            }
-        )
-
-    def _deliver_sets(t: pa.Table) -> tuple[pa.Table, pa.ListArray]:
-        """Split partition into set rows / request rows; return (requests
-        table, looked-up set list-array aligned to requests)."""
-        t = t.combine_chunks()
-        kind = t["kind"].to_numpy(zero_copy_only=False)
-        is_set = kind == 0
-        set_t = t.filter(pa.array(is_set))
-        req_t = t.filter(pa.array(~is_set))
-        ln = set_t["node"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ln, kind="stable")
-        ln = ln[order]
-        sh_sorted = set_t["sh"].combine_chunks().take(pa.array(order, pa.int64()))
-        rn = req_t["node"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(ln, rn)
-        if len(ln):
-            ok = (pos < len(ln)) & (ln[pos.clip(max=len(ln) - 1)] == rn)
-        else:
-            ok = np.zeros(len(rn), dtype=bool)
-        req_t = req_t.filter(pa.array(ok))
-        taken = sh_sorted.take(pa.array(pos[ok], pa.int64()))
-        return req_t, taken
-
-    def exchange_a(t: pa.Table) -> pa.Table:
-        req_t, taken = _deliver_sets(t)
-        return pa.table(
-            {
-                "doc_b": req_t["other"],
-                "doc_a": req_t["node"],
-                "sh_a": taken,
-            }
-        )
-
-    def exchange_b(t: pa.Table) -> pa.Table:
-        req_t, taken = _deliver_sets(t)
-        doc_a = req_t["other"].to_numpy(zero_copy_only=False)
-        doc_b = req_t["node"].to_numpy(zero_copy_only=False)
-        sh_a = req_t["sh"].combine_chunks()
-        jac = _pairwise_jaccard(sh_a, taken)
-        keep = jac >= threshold
-        return pa.table(
-            {
-                "doc_a": pa.array(doc_a[keep], pa.int64()),
-                "doc_b": pa.array(doc_b[keep], pa.int64()),
-                "jaccard": pa.array(jac[keep], pa.float64()),
-            }
-        )
-
-    # Exchange 1 keyed on doc_a: deliver set(doc_a) to each pair.
-    req1 = cand.map_batches(lambda b: _req_rows(b, "doc_a", "doc_b", None), batch_format="pyarrow")
-    sets1 = sets.map_batches(_set_rows, batch_format="pyarrow")
-    with_a = partitioned_reduce(sets1.union(req1), "node", exchange_a)
-    # Exchange 2 keyed on doc_b: deliver set(doc_b), verify exact Jaccard.
-    req2 = with_a.map_batches(lambda b: _req_rows(b, "doc_b", "doc_a", "sh_a"), batch_format="pyarrow")
-    sets2 = sets.map_batches(_set_rows, batch_format="pyarrow")
-    return partitioned_reduce(sets2.union(req2), "node", exchange_b)
+    return _verified_pairs(sets, cand, _pairwise_jaccard, threshold, "jaccard")
 
 
 # --- clustering ------------------------------------------------------------

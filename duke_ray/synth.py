@@ -291,3 +291,135 @@ def pages_batch_from_documents(batch: pa.Table, replica: int = 0, n_docs_per_rep
         },
         schema=PAGES,
     )
+
+
+# --- varied corpus for dedup / similarity endurance benches -----------------
+#
+# ``pages_batch_from_documents`` replicas carry IDENTICAL text (only ids
+# shift) — right for the KG bench (counts scale linearly) but degenerate for
+# near-dup dedup at bench scale: 2000 exact copies per base doc would put
+# every copy in one LSH bucket and pair emission would be O(copies^2).
+# ``varied_documents_batch`` instead rewrites each (doc, replica)'s text
+# with a deterministic seeded token substitution so pairwise similarity is
+# CONTROLLED and the true near-dup pair set is known in closed form.
+
+VARIED_MUT_STRIDE = 3  # every stride-th token position is rewritten, at a
+# seeded phase — every k<=stride shingle window then contains a rewritten
+# token, so trigram Jaccard between rows with different (doc, seed) is
+# EXACTLY 0 (a Bernoulli mask instead left rare short-doc coincidences
+# above near-dup thresholds, breaking the closed-form precision invariant)
+VARIED_PAIR_STRIDE = 10  # replicas r with r % stride == 1 form a planted
+# near-dup pair with replica r-1 (one pair per stride per base doc)
+VARIED_PAIR_MUT_PCT = 2  # extra % mutation inside a planted pair (trigram
+# Jaccard ~0.8-0.9: above the 0.6-0.8 near-dup thresholds)
+
+
+def _mix64(*cols: np.ndarray) -> np.ndarray:
+    """splitmix-style vectorized mix of equal-length uint64 columns."""
+    h = np.zeros(len(cols[0]) if cols else 0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            h = (h ^ c.astype(np.uint64)) * np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(32)
+    return h
+
+
+def varied_documents_batch(
+    batch: pa.Table,
+    replica: int,
+    n_docs_per_replica: int,
+    mut_stride: int = VARIED_MUT_STRIDE,
+    pair_stride: int = VARIED_PAIR_STRIDE,
+    pair_mut_pct: int = VARIED_PAIR_MUT_PCT,
+) -> pa.Table:
+    """documents batch -> (doc_id, text) rows with controlled similarity.
+
+    Every ``mut_stride``-th token position (at a phase seeded by
+    ``mix(doc_id, seed_replica)``) is rewritten to a token that is a pure
+    function of ``mix(doc_id, seed_replica, pos)`` — so every shingle
+    window of size <= mut_stride contains a rewritten token and any two
+    rows with different (doc, seed) share ZERO shingles. ``seed_replica``
+    is ``replica - 1`` for planted-pair replicas (``replica % pair_stride
+    == 1``), which therefore share the partner's rewrite exactly and
+    differ only in an extra ``pair_mut_pct`` rewrite (plus position 0,
+    guaranteeing a planted pair is never an exact duplicate) keyed by
+    (doc_id, replica). Everything is Arrow/numpy vectorized; the planted
+    ground truth is: (d + (r-1)*N, d + r*N) for r % stride == 1.
+    """
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    out_id = doc_id + np.int64(replica) * np.int64(n_docs_per_replica)
+    is_pair = replica % pair_stride == 1 and replica > 0
+    seed_replica = replica - 1 if is_pair else replica
+
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(pc.coalesce(text, ""), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = np.arange(len(flat), dtype=np.int64) - offsets[parent]
+
+    base_did = doc_id[parent].view(np.uint64)
+    seed_vec = np.full(len(flat), seed_replica, np.uint64)
+    h1 = _mix64(base_did, seed_vec, pos.view(np.uint64))
+    # per-row phase in [0, min(stride, row_len)): rows shorter than the
+    # stride still get >= 1 rewrite, so no two (doc, seed) rows are ever
+    # byte-identical (rows with empty text excepted — nothing to rewrite)
+    row_len = (offsets[1:] - offsets[:-1])[parent]
+    phase_mod = np.minimum(np.int64(mut_stride), np.maximum(row_len, 1)).view(np.uint64)
+    phase = _mix64(base_did, seed_vec) % phase_mod
+    mut = (pos.view(np.uint64) % np.uint64(mut_stride)) == phase
+    repl_hash = h1
+    if is_pair:
+        h2 = _mix64(
+            base_did,
+            np.full(len(flat), replica + 0x5EED, np.uint64),
+            pos.view(np.uint64),
+        )
+        extra = (h2 % np.uint64(10000)) < np.uint64(pair_mut_pct * 100)
+        # position 0 always differs: a planted pair is a NEAR-dup, never an
+        # exact dup (short docs could otherwise draw zero extra rewrites)
+        extra |= pos == 0
+        mut = mut | extra
+        repl_hash = np.where(extra, h2, h1)
+
+    # replacement tokens: "w" + decimal(hash % 1e9) — built once per batch
+    # with Arrow kernels, applied with one if_else
+    repl = pc.binary_join_element_wise(
+        "w", pc.cast(pa.array(repl_hash % np.uint64(1_000_000_000), pa.uint64()), pa.string()), ""
+    )
+    new_flat = pc.if_else(pa.array(mut), repl, flat)
+    new_lists = pa.ListArray.from_arrays(toks.offsets, new_flat)
+    new_text = pc.binary_join(new_lists, " ")
+    return pa.table(
+        {"doc_id": pa.array(out_id, pa.int64()), "text": new_text}
+    )
+
+
+def planted_pair_ids(
+    n_docs_per_replica: int, replicas: int, pair_stride: int = VARIED_PAIR_STRIDE
+) -> int:
+    """Number of planted near-dup pairs in a varied corpus (closed form)."""
+    n_pair_replicas = len(range(1, replicas, pair_stride))
+    return n_docs_per_replica * n_pair_replicas
+
+
+def is_planted_pair_arrow(
+    doc_a, doc_b, n_docs_per_replica: int, pair_stride: int = VARIED_PAIR_STRIDE
+):
+    """Vectorized membership test: is (doc_a, doc_b) a planted pair?
+
+    Planted pairs are exactly (d + (r-1)*N, d + r*N), r % stride == 1 —
+    i.e. |a-b| == N, same base doc, and the larger id's replica ≡ 1.
+    Accepts either orientation; returns a pyarrow BooleanArray."""
+    a = np.asarray(doc_a, dtype=np.int64)
+    b = np.asarray(doc_b, dtype=np.int64)
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    n = np.int64(n_docs_per_replica)
+    ok = (hi - lo == n) & ((hi // n) % np.int64(pair_stride) == 1) & (lo % n == hi % n)
+    return pa.array(ok)
