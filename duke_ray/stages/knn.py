@@ -113,52 +113,89 @@ def knn_topk(
     )
 
 
+def _block_pair_table(ta: pa.Table, tb: pa.Table, same: bool,
+                      threshold: float) -> pa.Table:
+    """All above-threshold cosine pairs between two normalized blocks.
+
+    Same-block tiles see each unordered pair twice (full (n, n) matrix) →
+    keep the a < b half, which also drops self-pairs. Cross-block tiles see
+    each unordered pair exactly once → keep all, emit canonical (min, max)."""
+    if ta.num_rows == 0 or tb.num_rows == 0:
+        return _EMPTY_PAIRS
+    a_ids = ta.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    b_ids = tb.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    A = _to_matrix(ta.column("vec"))
+    B = A if same else _to_matrix(tb.column("vec"))
+    sims = A @ B.T
+    ai, bj = np.nonzero(sims >= threshold)
+    a, b = a_ids[ai], b_ids[bj]
+    if same:
+        keep = a < b
+        a, b = a[keep], b[keep]
+    else:
+        a, b = np.minimum(a, b), np.maximum(a, b)
+    return pa.table(
+        {
+            "vec_a": pa.array(a, pa.int64()),
+            "vec_b": pa.array(b, pa.int64()),
+        }
+    )
+
+
+@ray.remote
+def _block_pair_task(ta: pa.Table, tb: pa.Table, same: bool,
+                     threshold: float) -> pa.Table:
+    return _block_pair_table(ta, tb, same, threshold)
+
+
+_EMPTY_PAIRS = pa.table(
+    {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+)
+
+
 def cosine_pairs_exact(
     vectors: "ray.data.Dataset",
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    block_rows: int = 65536,
 ) -> "ray.data.Dataset":
     """EXACT cosine near-neighbor pairs (vec_a < vec_b, cosine >= threshold)
-    — the brute-force baseline: the unit-normed corpus matrix is broadcast
-    once (``ray.put``) and each batch does one (B, d) @ (d, N) matmul,
-    emitting only its above-threshold pairs. O(N^2) compute AND an O(N*d)
-    driver materialization of the index side — both by definition of the
-    exact baseline (the broadcast index must fit one memory);
-    ``lsh_cosine_pairs`` / ``ivf_topk`` are the scale paths that drop both.
-    Output carries ids only (no float column) so the driver value-hash is
-    rounding-proof."""
-    import ray
+    — the brute-force baseline, computed as a distributed block-pair tiling:
+    the corpus is unit-normed into B plasma blocks once, then every
+    unordered block pair (i <= j) is an independent Ray task doing one
+    (block, d) @ (d, block) matmul on zero-copy plasma reads. O(N^2)
+    compute is inherent to the exact baseline, but nothing is materialized
+    on the driver and per-task memory is two blocks (~``block_rows`` × d ×
+    8 B each), so N is bounded by cluster throughput, not one node's RAM.
+    Task count is B(B+1)/2 — size ``block_rows`` so blocks stay matmul-fat
+    (default 64 Ki rows ≈ 34 MB at d=64). ``lsh_cosine_pairs`` /
+    ``ivf_topk`` remain the sub-quadratic scale paths. Output carries ids
+    only (no float column) so the driver value-hash is rounding-proof."""
 
-    mat_tbl = vectors.select_columns([id_col, vec_col]).to_pandas()
-    ids_all = mat_tbl[id_col].to_numpy().astype(np.int64)
-    order = np.argsort(ids_all, kind="stable")
-    ids_all = ids_all[order]
-    corpus = unit_norm_rows(
-        np.asarray(mat_tbl[vec_col].to_list(), dtype=np.float64)[order]
-    )
-    ref = ray.put((ids_all, corpus))
+    def normalize(batch: pa.Table) -> pa.Table:
+        mat = unit_norm_rows(_to_matrix(batch[vec_col]))
+        return pa.table(
+            {
+                "vec_id": batch[id_col].cast(pa.int64()),
+                "vec": _matrix_to_fsl(mat),
+            }
+        )
 
-    class PairScan:
-        def __init__(self):
-            self.ids, self.corpus = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            mat = unit_norm_rows(_to_matrix(batch[vec_col]))
-            bids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            sims = mat @ self.corpus.T                     # (B, N)
-            bi, cj = np.nonzero(sims >= threshold)
-            a, b = bids[bi], self.ids[cj]
-            keep = a < b                                   # dedupe + drop self
-            return pa.table(
-                {
-                    "vec_a": pa.array(a[keep], pa.int64()),
-                    "vec_b": pa.array(b[keep], pa.int64()),
-                }
-            )
-
-    return vectors.map_batches(PairScan, batch_format="pyarrow", batch_size=4096,
-                               concurrency=(1, 4))
+    prep = vectors.select_columns([id_col, vec_col]).map_batches(
+        normalize, batch_format="pyarrow"
+    ).materialize()
+    n = prep.count()
+    if n == 0:
+        return ray.data.from_arrow(_EMPTY_PAIRS)
+    n_blocks = max(1, -(-n // block_rows))
+    refs = prep.repartition(n_blocks).to_arrow_refs()
+    futures = [
+        _block_pair_task.remote(refs[i], refs[j], i == j, threshold)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return ray.data.from_arrow_refs(futures)
 
 
 # --- LSH-bucketed cosine near-neighbor pairs (ANN scale path) --------------

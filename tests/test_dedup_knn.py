@@ -201,6 +201,32 @@ def test_knn_matches_naive(ray_session, sf_dir):
             assert got[(qids[qi], rank)] == ids[idx]
 
 
+def test_cosine_pairs_exact_multiblock_matches_naive(ray_session, sf_dir):
+    """Tiny block_rows forces several blocks, so same-block AND cross-block
+    tiles both execute; the distributed tiling must reproduce the naive
+    single-matrix answer exactly (ids only, every pair once, a < b)."""
+    import pyarrow.parquet as pq
+
+    from duke_ray.stages.knn import cosine_pairs_exact
+
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.asarray(emb["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(emb["vec_id"].to_pylist(), dtype=np.int64)
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ii, jj = np.nonzero(sims >= 0.3)
+    keep = ids[ii] < ids[jj]
+    want = set(zip(ids[ii][keep].tolist(), ids[jj][keep].tolist()))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    rows = cosine_pairs_exact(ds, threshold=0.3, block_rows=16).take_all()
+    got = [(r["vec_a"], r["vec_b"]) for r in rows]
+    assert len(got) == len(set(got)), "duplicate pair emitted"
+    assert set(got) == want
+
+
 def test_lsh_cosine_pairs_high_recall_on_planted(ray_session):
     gen = np.random.Generator(np.random.Philox(key=3))
     base = gen.standard_normal((50, 64))
