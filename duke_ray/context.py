@@ -35,10 +35,35 @@ def tune_context(force: bool = False) -> None:
     # in low-CPU sessions with several downstream ops: measured 81.9s -> 29.0s
     # for the canonicalize exchange leg at 8 CPUs (the reserved shares left
     # the producer ~1 concurrent task while the sorts sat idle waiting for
-    # its output). All engine pipelines are acyclic map/shuffle chains with
-    # min-1 actor pools, so reservation's deadlock protection buys nothing.
+    # its output). Lean metadata-sized exchange plans (the KG pipeline)
+    # never approach the object-store limit, so the default stays off — BUT
+    # the r3 claim that "deadlock protection buys nothing" was falsified at
+    # 10M docs: a plan whose live working set exceeds the store (the dedup
+    # verify exchange, ~2x the shingle-set table in flight) livelocks under
+    # the global-limit policy (every op stalled at the limit, a Sort barrier
+    # preventing drain, driver spinning at 100%). Memory-heavy plans must
+    # opt back in via :func:`reserve_memory_for`.
     ctx.op_resource_reservation_enabled = False
     _TUNED = True
+
+
+def reserve_memory_for(ds):
+    """Opt a dataset's lineage back into Ray's per-operator resource
+    reservation (progress-guaranteed backpressure).
+
+    ``tune_context`` disables reservation globally because it starves lean
+    acyclic chains at low CPU counts, but a plan whose in-flight working
+    set can exceed the object store (shuffle payloads carrying per-doc
+    value lists, e.g. the dedup verify exchanges) NEEDS it: under the
+    plain global-limit policy such a plan livelocks once total usage hits
+    the limit while an all-to-all barrier holds its inputs (observed at
+    10M docs: UnionOperator buffered 464 blocks, output 0, all workers
+    idle, driver spinning). Ray snapshots one DataContext per root dataset
+    and shares it down the lineage, so flipping the snapshot here scopes
+    the policy to exactly this pipeline.
+    """
+    ds._plan._context.op_resource_reservation_enabled = True
+    return ds
 
 
 def default_pool() -> tuple[int, int]:

@@ -295,8 +295,21 @@ def _verified_pairs(
     ``pair_value(list_a, list_b) >= threshold``.
 
     ``sets``: (doc_id, sh list<int64>) — shingle sets or signatures;
-    ``pair_value(sa, sb) -> np.ndarray`` is vectorized across pairs."""
+    ``pair_value(sa, sb) -> np.ndarray`` is vectorized across pairs.
+
+    Memory discipline (r4, learned at 10M docs): the two exchanges carry
+    ~2x the sets table in flight, which can exceed the object store. Under
+    the engine's default no-reservation backpressure that LIVELOCKS (all
+    ops stalled at the global limit, the exchange Sort barrier preventing
+    drain), so (a) the lineage opts back into Ray's progress-guaranteed
+    reservation allocator, and (b) each exchange runs as its own execution
+    (``materialize`` stage boundaries) so exchange 2's sets scan cannot
+    race ahead of exchange 1 and double the live footprint."""
+    from ..context import reserve_memory_for
     from ..state.exchange import partitioned_reduce
+
+    sets = reserve_memory_for(sets)
+    cand = reserve_memory_for(cand)
 
     def exchange_a(t: pa.Table) -> pa.Table:
         req_t, taken = _deliver_sets(t)
@@ -319,10 +332,13 @@ def _verified_pairs(
             }
         )
 
+    # Candidate pairs are tiny (16 B/pair) — materializing them detaches the
+    # LSH bucket sort from the set-carrying exchanges below.
+    cand = cand.materialize()
     # Exchange 1 keyed on doc_a: deliver value-list(doc_a) to each pair.
     req1 = cand.map_batches(lambda b: _req_rows(b, "doc_a", "doc_b", None), batch_format="pyarrow")
     sets1 = sets.map_batches(_set_rows, batch_format="pyarrow")
-    with_a = partitioned_reduce(sets1.union(req1), "node", exchange_a)
+    with_a = partitioned_reduce(sets1.union(req1), "node", exchange_a).materialize()
     # Exchange 2 keyed on doc_b: deliver value-list(doc_b), verify.
     req2 = with_a.map_batches(lambda b: _req_rows(b, "doc_b", "doc_a", "sh_a"), batch_format="pyarrow")
     sets2 = sets.map_batches(_set_rows, batch_format="pyarrow")
