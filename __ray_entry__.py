@@ -531,6 +531,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["varied_dedup_pairs"] = varied_dedup_pairs
 
+    def dedup_clusters_embedding(sf):
+        """Embedding-cosine near-dup clustering end to end: exact cosine
+        pairs (distributed block-pair tiling) at threshold 0.4 over the
+        embeddings table, components via distributed min-label
+        propagation. Fully value-checked: the DuckDB oracle recomputes the
+        pair set with list_cosine_similarity and the clustering with a
+        recursive CTE."""
+        from duke_ray.stages.dedup import cluster_pairs
+        from duke_ray.stages.knn import cosine_pairs_exact as cpe
+
+        vectors = read_table(sf, "embeddings", columns=["vec_id", "embedding"])
+        pairs = cpe(vectors, threshold=0.4).map_batches(
+            lambda b: pa.table({"doc_a": b["vec_a"], "doc_b": b["vec_b"]}),
+            batch_format="pyarrow",
+        )
+        return cluster_pairs(pairs).map_batches(
+            lambda b: pa.table({"vec_id": b["doc_id"], "cluster_id": b["cluster_id"]}),
+            batch_format="pyarrow",
+        )
+
+    q["dedup_clusters_embedding"] = dedup_clusters_embedding
+
     # -- similarity search -------------------------------------------------
     def knn_topk(sf):
         import pyarrow.parquet as pq
@@ -1006,6 +1028,23 @@ walk(v, lab) AS (
   SELECT e.d, w.lab FROM walk w JOIN cedges e ON e.s = w.v
 )
 SELECT v AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY v
+"""
+
+    sql["dedup_clusters_embedding"] = """
+WITH RECURSIVE cpairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+),
+cedges AS (
+  SELECT va AS s, vb AS d FROM cpairs UNION SELECT vb, va FROM cpairs
+),
+walk(v, lab) AS (
+  SELECT DISTINCT s, s FROM cedges
+  UNION
+  SELECT e.d, w.lab FROM walk w JOIN cedges e ON e.s = w.v
+)
+SELECT v AS vec_id, MIN(lab) AS cluster_id FROM walk GROUP BY v
 """
 
     sql["lang_id"] = """
