@@ -299,3 +299,21 @@ def test_cosine_threshold_margin_on_testdata():
             # self-similarities sit at 1.0, far from 0.3 — no need to mask
             margin = min(margin, float(np.abs(sims - threshold).min()))
         assert margin > 2e-7, f"{sf}: similarity within {margin} of threshold"
+
+
+def test_verify_exchange_opts_into_memory_reservation(corpus):
+    """Regression for the 10M-doc livelock: the set-carrying verify
+    exchanges must run under Ray's progress-guaranteed reservation
+    allocator even though tune_context disables it globally. The opt-in
+    flips the LINEAGE's DataContext snapshot, not the global one."""
+    from ray.data import DataContext
+
+    from duke_ray.context import tune_context
+
+    tune_context(force=True)
+    assert DataContext.get_current().op_resource_reservation_enabled is False
+    ds = ray.data.from_arrow(corpus)
+    pairs = minhash_near_dup_pairs(ds, threshold=0.5)
+    assert pairs._plan._context.op_resource_reservation_enabled is True
+    # the global default is untouched: lean pipelines keep the r3 policy
+    assert DataContext.get_current().op_resource_reservation_enabled is False
