@@ -206,7 +206,12 @@ def run_endurance() -> dict:
     assert found_planted / max(1, planted_total) >= 0.65, stats["minhash_pairs"]
 
     t0 = time.time()
-    pairs = ngram_jaccard_pairs(read_documents_varied(SF_DIR, REPLICAS), threshold=0.6)
+    # materialized: pairs feed BOTH clustering and pair_stats below —
+    # without the snapshot the final verify exchange (a full sets pass)
+    # would execute twice. Pairs are ids-only, ~24 B/pair.
+    pairs = ngram_jaccard_pairs(
+        read_documents_varied(SF_DIR, REPLICAS), threshold=0.6
+    ).materialize()
     n_clustered = cluster_pairs(pairs).count()
     timings["ngram_dedup_clusters"] = round(time.time() - t0, 3)
     found, found_planted = pair_stats(pairs)
