@@ -321,6 +321,77 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_nodes"] = kg_nodes
 
+    def _kg_edges_ds(sf):
+        from duke_ray.pipelines.kg import build_edges
+        from duke_ray.sources import read_pages
+        from duke_ray.stages.canonicalize import canonicalize_triples
+        from duke_ray.stages.extract import extract_text
+        from duke_ray.stages.triples import extract_triples
+
+        canon = canonicalize_triples(extract_triples(extract_text(read_pages(sf))), n_salt=16)
+        return build_edges(canon, default_assets())
+
+    def kg_degrees(sf):
+        """Per-entity degree profile over the KG edge table."""
+        from duke_ray.stages.graph import entity_degrees
+
+        return entity_degrees(_kg_edges_ds(sf))
+
+    q["kg_degrees"] = kg_degrees
+
+    def kg_components(sf):
+        """Connected components over the entity graph (distributed
+        min-label + pointer jumping, reused from dedup.cluster_pairs)."""
+        from duke_ray.stages.graph import kg_components as comp
+
+        return comp(_kg_edges_ds(sf))
+
+    q["kg_components"] = kg_components
+
+    def kg_pagerank(sf):
+        """Fixed-point integer PageRank (5 iterations, damping 0.85,
+        micro-rank units): floor-division arithmetic makes the distributed
+        result bit-identical to the unrolled DuckDB oracle — a float
+        PageRank could never survive the value-hash compare."""
+        from duke_ray.stages.graph import pagerank
+
+        return pagerank(_kg_edges_ds(sf), n_iter=5)
+
+    q["kg_pagerank"] = kg_pagerank
+
+    def kg_update_edges(sf):
+        """Incremental KG maintenance: build the edge table from even-doc
+        pages (the 'existing KG'), then from odd-doc pages (the 'delta
+        crawl'), and merge count-wise — the oracle is the FULL-corpus edge
+        SQL, so this value-checks incremental == batch."""
+        from duke_ray.pipelines.kg import merge_edge_tables
+        from duke_ray.pipelines.kg import build_edges
+        from duke_ray.sources import read_pages
+        from duke_ray.stages.canonicalize import canonicalize_triples
+        from duke_ray.stages.extract import extract_text
+        from duke_ray.stages.triples import extract_triples
+        from duke_ray.synth import doc_id_from_url_arrow
+
+        extracted = extract_text(read_pages(sf)).materialize()
+
+        def half(parity):
+            def f(b: pa.Table) -> pa.Table:
+                ids = doc_id_from_url_arrow(b["url"])
+                return b.filter(pc.equal(pc.bit_wise_and(ids, 1), parity))
+
+            return f
+
+        def edges_of(ds):
+            return build_edges(
+                canonicalize_triples(extract_triples(ds), n_salt=8), default_assets()
+            )
+
+        base = edges_of(extracted.map_batches(half(0), batch_format="pyarrow"))
+        delta = edges_of(extracted.map_batches(half(1), batch_format="pyarrow"))
+        return merge_edge_tables(base, delta)
+
+    q["kg_update_edges"] = kg_update_edges
+
     def entity_link(sf):
         """Linked mentions; the per-surface link decision is deterministic,
         so the oracle inlines the expected surface->entity map as VALUES
@@ -882,6 +953,89 @@ FROM toks t JOIN ent e ON t.tok = e.surface
 WHERE t.tok IN ({linkable})
 GROUP BY e.entity_id, e.surface, e.class
 """
+
+    # graph analytics over the edge table. kg_update_edges shares the
+    # kg_edges oracle verbatim: incremental (even-docs + odd-docs delta
+    # merge) must equal the batch build over the full corpus.
+    sql["kg_update_edges"] = sql["kg_edges"]
+
+    _eg_cte = f"""
+, ent(entity_id, surface, class) AS (VALUES {ent_values}),
+eg AS (
+  SELECT CAST(es.entity_id AS BIGINT) AS subj_id, t.pred,
+         CAST(eo.entity_id AS BIGINT) AS obj_id, COUNT(*) AS n_occ
+  FROM triples t JOIN ent es ON t.subj = es.surface
+                 JOIN ent eo ON t.obj = eo.surface
+  GROUP BY 1, 2, 3
+)"""
+
+    sql["kg_degrees"] = _triples_sql_core() + _eg_cte + """,
+outs AS (
+  SELECT subj_id AS entity_id, CAST(COUNT(*) AS BIGINT) AS out_edges,
+         CAST(SUM(n_occ) AS BIGINT) AS w_out
+  FROM eg GROUP BY 1
+),
+ins AS (
+  SELECT obj_id AS entity_id, CAST(COUNT(*) AS BIGINT) AS in_edges,
+         CAST(SUM(n_occ) AS BIGINT) AS w_in
+  FROM eg GROUP BY 1
+)
+SELECT COALESCE(o.entity_id, i.entity_id) AS entity_id,
+       CAST(COALESCE(o.out_edges, 0) AS BIGINT) AS out_edges,
+       CAST(COALESCE(i.in_edges, 0) AS BIGINT) AS in_edges,
+       CAST(COALESCE(o.w_out, 0) AS BIGINT) AS w_out,
+       CAST(COALESCE(i.w_in, 0) AS BIGINT) AS w_in
+FROM outs o FULL OUTER JOIN ins i ON o.entity_id = i.entity_id
+"""
+
+    sql["kg_components"] = _triples_sql_core().replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ) + _eg_cte + """,
+cedges AS (
+  SELECT subj_id AS s, obj_id AS d FROM eg
+  UNION
+  SELECT obj_id AS s, subj_id AS d FROM eg
+),
+walk(v, lab) AS (
+  SELECT DISTINCT s, s FROM cedges
+  UNION
+  SELECT e.d, w.lab FROM walk w JOIN cedges e ON e.s = w.v
+)
+SELECT v AS entity_id, MIN(lab) AS component_id FROM walk GROUP BY v
+"""
+
+    # fixed-point integer PageRank, 5 iterations unrolled: identical
+    # floor-division arithmetic to stages/graph.pagerank, so values (not
+    # just shapes) hash-match.
+    from duke_ray.stages.graph import PR_DAMPING_PCT, PR_SCALE
+
+    _pr_base = PR_SCALE - (PR_DAMPING_PCT * PR_SCALE) // 100
+    _pr_chain = f""",
+pe AS (
+  SELECT subj_id AS src, obj_id AS dst, CAST(SUM(n_occ) AS BIGINT) AS w
+  FROM eg GROUP BY 1, 2
+),
+ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS W FROM pe GROUP BY src),
+vs AS (SELECT src AS id FROM pe UNION SELECT dst FROM pe),
+pr0 AS (SELECT id, CAST({PR_SCALE} AS BIGINT) AS r FROM vs)"""
+    for _k in range(1, 6):
+        _pr_chain += f""",
+c{_k} AS (
+  SELECT e.dst AS id, CAST(SUM((p.r * e.w) // o.W) AS BIGINT) AS S
+  FROM pe e JOIN pr{_k - 1} p ON p.id = e.src JOIN ow o ON o.src = e.src
+  GROUP BY e.dst
+),
+pr{_k} AS (
+  SELECT v.id,
+         CAST({_pr_base} + ({PR_DAMPING_PCT} * COALESCE(c.S, 0)) // 100 AS BIGINT) AS r
+  FROM vs v LEFT JOIN c{_k} c ON c.id = v.id
+)"""
+    sql["kg_pagerank"] = (
+        _triples_sql_core()
+        + _eg_cte
+        + _pr_chain
+        + '\nSELECT id AS entity_id, r AS "rank" FROM pr5\n'
+    )
 
     # expected per-surface link decisions, computed locally by the same
     # deterministic top-k NN logic the distributed LinkActor runs

@@ -377,3 +377,156 @@ def run_kg_pipeline(
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2, default=str)
     return metrics
+
+
+# --- incremental maintenance -------------------------------------------------
+#
+# The node/edge tables are PURE SUMS over disjoint page sets: n_mentions /
+# n_occurrences are plain counts, and n_pages (COUNT DISTINCT url) adds
+# across batches because a url appears in exactly one crawl batch (the
+# crawl's partitioning invariant — same one that makes the extraction
+# partials exact). So "yesterday's KG + today's crawl" is one
+# metadata-sized grouped_sum per table, never a recompute of the old
+# corpus — the operation a 1e12-page rolling crawl actually needs.
+
+
+def merge_edge_tables(
+    base: "ray.data.Dataset", delta: "ray.data.Dataset"
+) -> "ray.data.Dataset":
+    """Merge two edge tables built from DISJOINT page sets: counts sum per
+    (subj_id, pred, obj_id). One hash-partitioned exchange over
+    edge-table-sized (gazetteer-bounded) rows."""
+    from ..state.exchange import grouped_sum
+
+    return grouped_sum(
+        base.union(delta),
+        ["subj_id", "pred", "obj_id"],
+        {"n_occurrences": "n_occurrences", "n_pages": "n_pages"},
+    )
+
+
+def merge_node_tables(
+    base: "ray.data.Dataset",
+    delta: "ray.data.Dataset",
+    assets: SideAssets | None = None,
+) -> "ray.data.Dataset":
+    """Merge two node tables from disjoint page sets: n_mentions sums per
+    entity. surface/class are functionally dependent on entity_id (the
+    gazetteer is versioned with the pipeline), so they ride in the key;
+    type_score (also entity metadata, not a count) is re-attached from the
+    gazetteer after the merge so the output schema matches the builder's."""
+    from ..state.exchange import grouped_sum
+
+    project = lambda b: b.select(["entity_id", "surface", "class", "n_mentions"])
+    merged = grouped_sum(
+        base.map_batches(project, batch_format="pyarrow").union(
+            delta.map_batches(project, batch_format="pyarrow")
+        ),
+        ["entity_id", "surface", "class"],
+        {"n_mentions": "n_mentions"},
+    )
+    scores = (assets or default_assets()).entity_type_scores
+
+    def attach(b: pa.Table) -> pa.Table:
+        ids = b["entity_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "entity_id": b["entity_id"],
+                "surface": b["surface"],
+                "class": b["class"],
+                "type_score": pa.array(scores[ids.astype(np.int64)], pa.float32()),
+                "n_mentions": b["n_mentions"],
+            }
+        )
+
+    return merged.map_batches(attach, batch_format="pyarrow")
+
+
+def build_kg_tables(
+    extracted: "ray.data.Dataset",
+    assets: SideAssets | None = None,
+    link_k: int = 3,
+) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """(url, text) dataset -> (nodes, edges) Datasets, no writes.
+
+    The delta-side build for incremental maintenance: same single-pass
+    partials topology as run_kg_pipeline, minus checkpoints/manifests
+    (the caller owns durability for deltas)."""
+    from ..stages.triples import combine_kg_partials, extract_kg_partials
+
+    resolved = assets or default_assets()
+    partials = combine_kg_partials(
+        extract_kg_partials(extracted, assets=assets)
+    ).materialize()
+
+    def _kind(kind: str, columns: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            return b.filter(pa.compute.equal(b["kind"], kind)).select(columns)
+
+        return f
+
+    mentions = partials.map_batches(
+        _kind("m", ["surface", "n"]), batch_format="pyarrow", batch_size=65536
+    )
+    triple_partials = partials.map_batches(
+        _kind("t", ["subj", "pred", "obj", "n", "pages"]),
+        batch_format="pyarrow",
+        batch_size=65536,
+    )
+    nodes = build_nodes_from_surface_counts(mentions, assets, link_k=link_k)
+    edges = build_edges(canonicalize_from_partials(triple_partials), resolved)
+    return nodes, edges
+
+
+def update_kg_tables(
+    prev_out_dir: str,
+    extracted_delta: "ray.data.Dataset",
+    out_dir: str,
+    n_buckets: int = 16,
+    assets: SideAssets | None = None,
+    link_k: int = 3,
+    fingerprint: str = "delta",
+) -> dict:
+    """Incrementally fold a delta crawl into an existing KG output dir.
+
+    Reads ``prev_out_dir/{nodes,edges}`` (a prior run_kg_pipeline or
+    update_kg_tables output), builds the delta's node/edge tables from
+    ``extracted_delta`` (url, text; urls must be disjoint from every page
+    set already folded in), merges count-wise, and writes the merged
+    tables to ``out_dir`` with the usual bucketed manifests. Cost scales
+    with the DELTA corpus + the (gazetteer-bounded) table sizes — the old
+    corpus is never re-read."""
+    from ..context import tune_context
+
+    tune_context()
+    prev_nodes = ray.data.read_parquet(
+        os.path.join(prev_out_dir, "nodes"),
+        columns=["entity_id", "surface", "class", "n_mentions"],
+    )
+    prev_edges = ray.data.read_parquet(
+        os.path.join(prev_out_dir, "edges"),
+        columns=["subj_id", "pred", "obj_id", "n_occurrences", "n_pages"],
+    )
+    d_nodes, d_edges = build_kg_tables(extracted_delta, assets=assets, link_k=link_k)
+    nodes = merge_node_tables(prev_nodes, d_nodes, assets=assets)
+    edges = merge_edge_tables(prev_edges, d_edges)
+
+    nodes_res = write_partitioned_with_manifests(
+        nodes, os.path.join(out_dir, "nodes"), key_cols=["entity_id"],
+        n_buckets=n_buckets, fingerprint=fingerprint,
+    )
+    edges_res = write_partitioned_with_manifests(
+        edges, os.path.join(out_dir, "edges"),
+        key_cols=["subj_id", "pred", "obj_id"],
+        n_buckets=n_buckets, fingerprint=fingerprint,
+    )
+    metrics = {
+        "fingerprint": fingerprint,
+        "nodes": nodes_res,
+        "edges": edges_res,
+        "n_nodes": int(sum(nodes_res["rows"].values())),
+        "n_edges": int(sum(edges_res["rows"].values())),
+    }
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=2, default=str)
+    return metrics

@@ -1,0 +1,313 @@
+"""Graph analytics over the materialized KG edge table.
+
+The reference (uncharted-distil/duke) stops at embedding-based
+summarization; the north star (BASELINE.json) extends it into KG
+construction with materialized node/edge tables. These operators are the
+standard post-construction analyses over that output — degree profiles,
+connected components, PageRank centrality — each expressed Ray-Data-first
+so they hold at a 1e8-entity graph:
+
+- degrees: per-batch partial rows -> one ``grouped_sum`` exchange; the
+  edge table never shuffles whole.
+- components: reuse of ``stages/dedup.cluster_pairs`` (distributed
+  min-label + pointer jumping, O(log diameter) exchange rounds).
+- pagerank: FIXED-POINT INTEGER arithmetic (micro-rank units, floor
+  division per edge) so every sum is order-independent and the whole
+  iteration is exactly reproducible by a DuckDB oracle — float
+  PageRank can never survive a value-hash compare across summation
+  orders (CLAUDE.md: avoid float aggregates). Each iteration is two
+  hash-partitioned exchanges (deliver rank/out-weight to edges, then
+  aggregate contributions per destination), the same topology as
+  connected components; the rank table is materialized per round so
+  lineage and block counts stay fixed (the r2 iterative-loop lesson).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+PR_SCALE = 1_000_000  # one rank unit = 1e-6 (micro-ranks)
+PR_DAMPING_PCT = 85  # damping 0.85, held as integer percent
+
+
+def _project_edges(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(subj_id, obj_id, n_occurrences) -> (src, dst, w) with null endpoints
+    dropped (unlinkable surfaces carry no graph identity) and parallel
+    edges pre-aggregated per (src, dst).
+
+    The pre-aggregation is semantic, not just an optimization: PageRank
+    contributions use floor division, so ``(r*w1)//W + (r*w2)//W`` differs
+    from ``(r*(w1+w2))//W`` — the operator is DEFINED over the (src, dst)
+    multigraph collapsed by summed weight, and the SQL oracle groups the
+    same way."""
+    from ..state.exchange import grouped_sum
+
+    def proj(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b["subj_id"]), pc.is_valid(b["obj_id"]))
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "src": b["subj_id"].cast(pa.int64()),
+                "dst": b["obj_id"].cast(pa.int64()),
+                "w": b["n_occurrences"].cast(pa.int64()),
+            }
+        )
+
+    return grouped_sum(
+        edges.map_batches(proj, batch_format="pyarrow"), ["src", "dst"], {"w": "w"}
+    )
+
+
+def entity_degrees(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Per-entity degree profile over the edge table:
+    (entity_id, out_edges, in_edges, w_out, w_in).
+
+    out_edges counts edge-table rows (distinct (pred, obj) per subject —
+    the table is already canonicalized per (subj, pred, obj)); w_* sums
+    n_occurrences. One partial-rows map + one grouped_sum exchange."""
+    from ..state.exchange import grouped_sum
+
+    def partials(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b["subj_id"]), pc.is_valid(b["obj_id"]))
+        b = b.filter(keep)
+        n = b.num_rows
+        occ = b["n_occurrences"].cast(pa.int64()).combine_chunks()
+        ones = pa.array(np.ones(n, np.int64))
+        zeros = pa.array(np.zeros(n, np.int64))
+        zeros_w = pa.array(np.zeros(n, np.int64))
+        return pa.table(
+            {
+                "entity_id": pa.concat_arrays(
+                    [
+                        b["subj_id"].cast(pa.int64()).combine_chunks(),
+                        b["obj_id"].cast(pa.int64()).combine_chunks(),
+                    ]
+                ),
+                "out_edges": pa.concat_arrays([ones, zeros]),
+                "in_edges": pa.concat_arrays([zeros, ones]),
+                "w_out": pa.concat_arrays([occ, zeros_w]),
+                "w_in": pa.concat_arrays([zeros_w, occ]),
+            }
+        )
+
+    return grouped_sum(
+        edges.map_batches(partials, batch_format="pyarrow"),
+        "entity_id",
+        {c: c for c in ("out_edges", "in_edges", "w_out", "w_in")},
+    )
+
+
+def kg_components(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Connected components over the (undirected view of the) entity graph
+    -> (entity_id, component_id), component_id = min entity id in the
+    component. Thin adapter over dedup.cluster_pairs (distributed
+    min-label + pointer jumping)."""
+    from .dedup import cluster_pairs
+
+    def as_pairs(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b["subj_id"]), pc.is_valid(b["obj_id"]))
+        b = b.filter(keep)
+        return pa.table(
+            {
+                "doc_a": b["subj_id"].cast(pa.int64()),
+                "doc_b": b["obj_id"].cast(pa.int64()),
+            }
+        )
+
+    labeled = cluster_pairs(edges.map_batches(as_pairs, batch_format="pyarrow"))
+    return labeled.map_batches(
+        lambda b: pa.table(
+            {"entity_id": b["doc_id"], "component_id": b["cluster_id"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _split_kinds(t: pa.Table, kind_col: str = "kind"):
+    k = t[kind_col].to_numpy(zero_copy_only=False)
+    return t.filter(pa.array(k == 0)), t.filter(pa.array(k == 1))
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    n_iter: int = 5,
+    damping_pct: int = PR_DAMPING_PCT,
+    n_meta: int = 64,
+) -> "ray.data.Dataset":
+    """Fixed-point integer PageRank over the KG edge table ->
+    (entity_id, rank) in micro-rank units (PR_SCALE = 1.0).
+
+    Per iteration, for every node j:
+        rank'(j) = (1-d)*SCALE + (d_pct * SUM_{i->j} (rank(i)*w_ij // W_i)) // 100
+    with W_i = total out-weight of i, all in int64 floor division — sums of
+    integers are associative, so the distributed result is bit-identical to
+    any serial evaluation (and to the unrolled DuckDB oracle). Dangling
+    nodes (no out-edges) simply contribute nothing — the documented
+    no-redistribution variant.
+
+    Topology per iteration (the cluster_pairs shape):
+      exchange 1 (key = src): deliver (rank, W) to every out-edge, emit
+        per-edge contributions (dst, c);
+      grouped_sum (key = dst): S(j) = sum of contributions;
+      exchange 2 (key = id): apply the update over the full node set
+        (left-join semantics: nodes without in-edges get the base term).
+    The rank table is node-sized metadata; it is materialized each round so
+    block counts and lineage depth stay constant across iterations."""
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    proj = _project_edges(edges).materialize()
+
+    outw = grouped_sum(proj, "src", {"w": "W"})  # (src, W)
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pa.concat_arrays(
+                    [b["src"].combine_chunks(), b["dst"].combine_chunks()]
+                )
+            }
+        )
+
+    # rank table (id, r, W): distinct node ids left-joined with out-weight.
+    # One exchange: node rows (kind 0) + outw rows (kind 1, W in val).
+    nodes_u = proj.map_batches(node_rows, batch_format="pyarrow").map_batches(
+        lambda b: pa.table(
+            {
+                "id": b["id"],
+                "val": pa.array(np.zeros(b.num_rows, np.int64)),
+                "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    outw_u = outw.map_batches(
+        lambda b: pa.table(
+            {
+                "id": b["src"],
+                "val": b["W"].cast(pa.int64()),
+                "kind": pa.array(np.ones(b.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def init_partition(t: pa.Table) -> pa.Table:
+        node_t, w_t = _split_kinds(t)
+        ids = np.unique(node_t["id"].to_numpy(zero_copy_only=False))
+        W = np.zeros(len(ids), np.int64)
+        w_ids = w_t["id"].to_numpy(zero_copy_only=False)
+        if len(w_ids):
+            W[np.searchsorted(ids, w_ids)] = w_t["val"].to_numpy(
+                zero_copy_only=False
+            )
+        return pa.table(
+            {
+                "id": pa.array(ids),
+                "r": pa.array(np.full(len(ids), PR_SCALE, np.int64)),
+                "W": pa.array(W),
+            }
+        )
+
+    ranks = partitioned_reduce(
+        nodes_u.union(outw_u), "id", init_partition, n_meta=n_meta
+    ).materialize()
+
+    base = PR_SCALE - (damping_pct * PR_SCALE) // 100
+
+    for _ in range(n_iter):
+        # exchange 1: deliver (r, W) to out-edges keyed by src
+        rank_u = ranks.map_batches(
+            lambda b: pa.table(
+                {
+                    "id": b["id"],
+                    "dst": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "a": b["r"],
+                    "b": b["W"],
+                    "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_u = proj.map_batches(
+            lambda b: pa.table(
+                {
+                    "id": b["src"],
+                    "dst": b["dst"],
+                    "a": b["w"],
+                    "b": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def contrib_partition(t: pa.Table) -> pa.Table:
+            rank_t, edge_t = _split_kinds(t)
+            rid = rank_t["id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(rid, kind="stable")
+            rid = rid[order]
+            r = rank_t["a"].to_numpy(zero_copy_only=False)[order]
+            W = rank_t["b"].to_numpy(zero_copy_only=False)[order]
+            eid = edge_t["id"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(rid, eid)
+            w = edge_t["a"].to_numpy(zero_copy_only=False)
+            # every src has out-edges, so W[idx] > 0 by construction
+            c = (r[idx] * w) // W[idx]
+            return pa.table(
+                {"dst": edge_t["dst"], "c": pa.array(c.astype(np.int64))}
+            )
+
+        contribs = partitioned_reduce(
+            rank_u.union(edge_u), "id", contrib_partition, n_meta=n_meta
+        )
+        sums = grouped_sum(contribs, "dst", {"c": "S"}, n_meta=n_meta)
+
+        # exchange 2: apply over the full node set (left-join semantics)
+        prev_u = ranks.map_batches(
+            lambda b: pa.table(
+                {
+                    "id": b["id"],
+                    "val": b["W"],
+                    "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        sums_u = sums.map_batches(
+            lambda b: pa.table(
+                {
+                    "id": b["dst"],
+                    "val": b["S"].cast(pa.int64()),
+                    "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def apply_partition(t: pa.Table) -> pa.Table:
+            node_t, sum_t = _split_kinds(t)
+            ids = node_t["id"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            W = node_t["val"].to_numpy(zero_copy_only=False)[order]
+            S = np.zeros(len(ids), np.int64)
+            sid = sum_t["id"].to_numpy(zero_copy_only=False)
+            if len(sid):
+                S[np.searchsorted(ids, sid)] = sum_t["val"].to_numpy(
+                    zero_copy_only=False
+                )
+            r = base + (damping_pct * S) // 100
+            return pa.table(
+                {"id": pa.array(ids), "r": pa.array(r), "W": pa.array(W)}
+            )
+
+        ranks = partitioned_reduce(
+            prev_u.union(sums_u), "id", apply_partition, n_meta=n_meta
+        ).materialize()
+
+    return ranks.map_batches(
+        lambda b: pa.table({"entity_id": b["id"], "rank": b["r"]}),
+        batch_format="pyarrow",
+    )
