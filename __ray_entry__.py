@@ -226,6 +226,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["term_frequencies"] = term_frequencies
 
+    def frequent_terms(sf):
+        """Heavy-hitter terms (>= 2 per-mille of all tokens) via the
+        bounded-memory Misra-Gries two-pass; output is EXACT (candidate
+        superset + exact verify pass), so the oracle is the plain
+        count-and-filter SQL. The synthetic vocab (31 tokens) is below
+        the capacity the exactness guarantee needs, so truncation cannot
+        fire here — the truncating path is exercised by
+        tests/test_graph.py-style Zipf fixtures in test_textstats."""
+        from duke_ray.stages.textstats import frequent_terms as ft
+
+        return ft(_extracted(sf), threshold_milli=2)
+
+    q["frequent_terms"] = frequent_terms
+
+    def token_quantiles(sf):
+        """Exact PERCENTILE_DISC of per-doc token counts via distributed
+        value histogram + driver-side cumulative selection."""
+        from duke_ray.stages.textstats import int_quantiles, token_stats
+
+        return int_quantiles(token_stats(_extracted(sf)), "n_tokens")
+
+    q["token_quantiles"] = token_quantiles
+
     def bigram_frequencies(sf):
         from duke_ray.stages.textstats import bigram_frequencies as bf
 
@@ -913,6 +936,27 @@ GROUP BY t.doc_id
 WITH {_TOKS_CTE}
 SELECT tok AS token, COUNT(*) AS n FROM toks GROUP BY tok
 """
+
+    sql["frequent_terms"] = f"""
+WITH {_TOKS_CTE},
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+cnt AS (SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok)
+SELECT c.token, c.n FROM cnt c, tot WHERE c.n >= (tot.n * 2 + 999) // 1000
+"""
+
+    _pd = (
+        "CAST(PERCENTILE_DISC({f}) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS value"
+    )
+    sql["token_quantiles"] = (
+        f"WITH {_TOKS_CTE},\n"
+        "ts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id)\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({p} AS BIGINT) AS p_milli, "
+            + _pd.format(f=p / 1000.0)
+            + " FROM ts"
+            for p in (250, 500, 750, 900, 990)
+        )
+    )
 
     sql["bigram_frequencies"] = f"""
 WITH {_TOKS_CTE}

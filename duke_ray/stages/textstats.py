@@ -289,3 +289,163 @@ def winnow_fingerprints(
         )
 
     return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=4096)
+
+
+def frequent_terms(
+    docs: "ray.data.Dataset",
+    threshold_milli: int = 1,
+    sketch_capacity: int | None = None,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """EXACT heavy-hitter terms: every (token, n) with
+    n >= ceil(total_tokens * threshold_milli / 1000), found without ever
+    building the full vocabulary count table.
+
+    Two passes (the Misra-Gries discipline, vectorized per batch):
+
+      pass 1 — each batch emits an exact count table TRUNCATED to at most
+      ``sketch_capacity`` rows: counts are decremented by the (k+1)-th
+      largest batch count and non-positive rows dropped (per-batch
+      underestimate <= that decrement, which is also emitted as a
+      sentinel). One grouped_sum merges the summaries; summed
+      underestimate D = sum of decrements, so true_n <= est_n + D for
+      every token and any true heavy hitter survives with est_n > 0 as
+      long as threshold > D (asserted; the default capacity
+      4000/threshold_milli gives D <= total/k = threshold/4).
+
+      pass 2 — the pruned candidate list (est_n + D >= threshold; bounded
+      by ~total/(threshold - D) tokens) is broadcast, exact counts are
+      re-accumulated for candidates only, and the final filter applies
+      the exact threshold. Output is EXACT, so the DuckDB oracle is the
+      plain count-and-filter query — while the engine never shuffles
+      more than (batches x capacity) summary rows + candidate counts.
+
+    threshold_milli is per-mille of total tokens, kept integral so the
+    threshold formula (total*milli + 999) // 1000 is bit-identical in SQL.
+    """
+    if not (1 <= threshold_milli <= 1000):
+        raise ValueError("threshold_milli must be in [1, 1000]")
+    k = sketch_capacity or -(-4000 // threshold_milli)
+
+    def sketch_partial(batch: pa.Table) -> pa.Table:
+        flat = FlatTokens.from_text(batch[text_col])
+        total = len(flat.tokens)
+        g = pa.table({"token": flat.tokens}).group_by("token").aggregate(
+            [("token", "count")]
+        )
+        toks = g["token"]
+        n = g["token_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dec = 0
+        if len(n) > k:
+            # decrement by the (k+1)-th largest count, keep positive rows
+            dec = int(np.partition(n, len(n) - (k + 1))[len(n) - (k + 1)])
+            keep = n > dec
+            toks, n = toks.filter(pa.array(keep)), n[keep] - dec
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([np.zeros(2, np.int8), np.ones(len(n), np.int8)])
+                ),
+                "token": pa.concat_arrays(
+                    [pa.array(["__total__", "__err__"], pa.string()),
+                     toks.combine_chunks().cast(pa.string())]
+                ),
+                "n": pa.array(np.concatenate([[total, dec], n]), pa.int64()),
+            }
+        )
+
+    from ..state.exchange import grouped_sum
+
+    partials = docs.map_batches(sketch_partial, batch_format="pyarrow", batch_size=8192)
+    est = grouped_sum(partials, ["kind", "token"], {"n": "n"}).materialize()
+
+    # only the two merged sentinel rows and the PRUNED candidate list reach
+    # the driver — the summary table itself is filtered dataset-side
+    meta = {
+        r["token"]: r["n"]
+        for r in est.map_batches(
+            lambda b: b.filter(pc.equal(b["kind"], 0)), batch_format="pyarrow"
+        ).take_all()
+    }
+    total, err = int(meta.get("__total__", 0)), int(meta.get("__err__", 0))
+    threshold = (total * threshold_milli + 999) // 1000
+    if threshold <= err:
+        raise ValueError(
+            f"sketch too small for exactness: summed decrement {err} >= "
+            f"threshold {threshold}; raise sketch_capacity (k={k})"
+        )
+
+    # bounded candidate list: true_n <= est_n + err
+    cand = [
+        r["token"]
+        for r in est.map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.equal(b["kind"], 1),
+                    pc.greater_equal(pc.add(b["n"], err), threshold),
+                )
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+    ]
+    cand_set = pa.array(sorted(cand), pa.string())
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        flat = FlatTokens.from_text(batch[text_col])
+        hits = flat.tokens.filter(pc.is_in(flat.tokens, value_set=cand_set))
+        g = pa.table({"token": hits}).group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "n"])
+
+    exact = grouped_sum(
+        docs.map_batches(exact_partial, batch_format="pyarrow", batch_size=8192),
+        "token",
+        {"n": "n"},
+    )
+    return exact.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n"], threshold)), batch_format="pyarrow"
+    )
+
+
+def int_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    ps_milli: tuple[int, ...] = (250, 500, 750, 900, 990),
+) -> pa.Table:
+    """EXACT PERCENTILE_DISC over an integer column -> (p_milli, value)
+    Arrow table, via a distributed value histogram + driver-side
+    cumulative selection.
+
+    The shuffle carries (distinct values x 1) rows — for corpus stats like
+    per-doc token counts, distinct cardinality is bounded by the max doc
+    length (~1e6), i.e. metadata-sized at any corpus scale; only the
+    histogram reaches the driver. PERCENTILE_DISC semantics exactly:
+    value at 1-based sorted position ceil(p * n), matching DuckDB."""
+    from ..state.exchange import grouped_sum
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        g = pa.table({"v": b[col].cast(pa.int64())}).group_by("v").aggregate(
+            [("v", "count")]
+        )
+        return g.rename_columns(["v", "n"])
+
+    hist = (
+        grouped_sum(ds.map_batches(hist_partial, batch_format="pyarrow"), "v", {"n": "n"})
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    cum = hist["n"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = hist["v"].to_numpy()
+    out_p, out_v = [], []
+    for p in ps_milli:
+        if not (0 < p <= 1000):
+            raise ValueError("p_milli must be in (0, 1000]")
+        if n == 0:
+            continue
+        idx = (p * n + 999) // 1000  # ceil, 1-based
+        out_p.append(p)
+        out_v.append(int(vals[np.searchsorted(cum, idx)]))
+    return pa.table(
+        {"p_milli": pa.array(out_p, pa.int64()), "value": pa.array(out_v, pa.int64())}
+    )

@@ -180,3 +180,81 @@ def test_bpe_token_counts(docs):
     # "the fast table scan": ["the"," fast"," table"," scan"] = 4
     assert got[0] == 4
     assert got[1] == 3  # "a a a" -> ["a", " a", " a"]
+
+
+# --- heavy hitters + quantiles (r4) -----------------------------------------
+
+
+def _zipf_corpus(n_docs=4000, vocab=2000, doc_len=40, seed=3):
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    words = np.array([f"w{i}" for i in range(vocab)])
+    # Zipf-ish: token i with prob ~ 1/(i+1)
+    p = 1.0 / np.arange(1, vocab + 1)
+    p /= p.sum()
+    draws = rng.choice(vocab, size=(n_docs, doc_len), p=p)
+    texts = [" ".join(words[row]) for row in draws]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_frequent_terms_exact_under_truncation(ray_session):
+    """The sketch MUST truncate (batch vocab 2000 > capacity 300) and the
+    output must still be exactly the count-filtered heavy hitters."""
+    from collections import Counter
+
+    import ray.data
+
+    from duke_ray.stages.textstats import frequent_terms
+
+    t = _zipf_corpus()
+    docs = ray.data.from_arrow(t)
+    got = frequent_terms(docs, threshold_milli=5, sketch_capacity=300).to_pandas()
+
+    cnt = Counter(w for s in t["text"].to_pylist() for w in s.split(" "))
+    total = sum(cnt.values())
+    threshold = (total * 5 + 999) // 1000
+    ref = {w: n for w, n in cnt.items() if n >= threshold}
+    assert dict(zip(got["token"], got["n"])) == ref
+    assert len(ref) > 5  # the test corpus actually has heavy hitters
+
+
+def test_frequent_terms_rejects_undersized_sketch(ray_session):
+    import pytest
+    import ray.data
+
+    from duke_ray.stages.textstats import frequent_terms
+
+    docs = ray.data.from_arrow(_zipf_corpus(n_docs=500))
+    with pytest.raises(ValueError, match="sketch too small"):
+        # capacity 5 over a 2000-word vocab: summed decrements dwarf the
+        # threshold, so exactness is impossible and the operator must say so
+        frequent_terms(docs, threshold_milli=5, sketch_capacity=5)
+
+
+def test_int_quantiles_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from duke_ray.stages.textstats import int_quantiles
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 500, 10_000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)}))
+    got = int_quantiles(ds, "x", ps_milli=(100, 250, 500, 750, 990)).to_pandas()
+
+    con = duckdb.connect()
+    con.register("t", pa.table({"x": pa.array(vals)}))
+    for p, v in zip(got["p_milli"], got["value"]):
+        ref = con.execute(
+            f"SELECT PERCENTILE_DISC({p / 1000.0}) WITHIN GROUP (ORDER BY x) FROM t"
+        ).fetchone()[0]
+        assert v == ref, (p, v, ref)
