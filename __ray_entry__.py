@@ -256,6 +256,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["bigram_frequencies"] = bigram_frequencies
 
+    def doc_chunks(sf):
+        """Fixed-window token chunking (chunk_size=40, overlap=8) — the
+        document -> training-sample expansion op; pure per-batch
+        map_batches, no shuffle."""
+        from duke_ray.stages.chunk import chunk_tokens
+
+        return chunk_tokens(
+            read_table(sf, "documents", columns=["doc_id", "text"]),
+            chunk_size=40,
+            overlap=8,
+        )
+
+    q["doc_chunks"] = doc_chunks
+
+    def pii_redact(sf):
+        """RE2 scrub + per-doc redaction count (pattern picked to have
+        real matches in the synthetic vocab: hash/key/spark stems)."""
+        from duke_ray.stages.chunk import regex_redact
+
+        return regex_redact(
+            read_table(sf, "documents", columns=["doc_id", "text"]),
+            pattern=r"\b(hash|key|spark)\w*\b",
+        )
+
+    q["pii_redact"] = pii_redact
+
     def mentions(sf):
         from duke_ray.stages.triples import extract_mentions
         from duke_ray.sources import read_pages
@@ -930,6 +956,26 @@ SELECT t.doc_id,
        SUM(CASE WHEN t.tok IN ({stop_list}) THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1) AS stopword_ratio
 FROM toks t JOIN documents d USING (doc_id)
 GROUP BY t.doc_id
+"""
+
+    # chunking spec pinned in duke_ray/stages/chunk.py: starts 0, 32, 64, ...
+    # while start < n_tokens; list_slice is 1-based inclusive and truncates.
+    sql["doc_chunks"] = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t,
+        unnest(generate_series(0, CAST((len(t)-1)//32 AS BIGINT))) AS chunk_idx
+        FROM toks)
+SELECT doc_id, chunk_idx,
+       CAST(least(len(t) - chunk_idx*32, 40) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, chunk_idx*32+1, chunk_idx*32+40), ' ') AS chunk_text
+FROM idx
+"""
+
+    sql["pii_redact"] = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(hash|key|spark)\w*\b')) AS BIGINT) AS n_redactions,
+       regexp_replace(text, '\b(hash|key|spark)\w*\b', '<RED>', 'g') AS clean_text
+FROM documents
 """
 
     sql["term_frequencies"] = f"""

@@ -159,6 +159,17 @@ def pagerank(
 
     proj = _project_edges(edges).materialize()
 
+    # Gazetteer-sized graphs are lean metadata plans (keep the r3
+    # no-reservation default); a corpus-scale graph pushes edge-sized
+    # unions through Sort barriers every iteration — exactly the plan
+    # class that livelocked the dedup verify exchange at 10M docs — so
+    # opt its lineage back into progress-guaranteed reservation.
+    heavy = proj.count() > 1_000_000
+    if heavy:
+        from ..context import reserve_memory_for
+
+        proj = reserve_memory_for(proj)
+
     outw = grouped_sum(proj, "src", {"w": "W"})  # (src, W)
 
     def node_rows(b: pa.Table) -> pa.Table:
@@ -213,6 +224,10 @@ def pagerank(
     ranks = partitioned_reduce(
         nodes_u.union(outw_u), "id", init_partition, n_meta=n_meta
     ).materialize()
+    if heavy:
+        # each materialize starts a fresh lineage root; re-flag it so every
+        # round's exchanges stay under the reservation policy
+        ranks = reserve_memory_for(ranks)
 
     base = PR_SCALE - (damping_pct * PR_SCALE) // 100
 
@@ -306,6 +321,8 @@ def pagerank(
         ranks = partitioned_reduce(
             prev_u.union(sums_u), "id", apply_partition, n_meta=n_meta
         ).materialize()
+        if heavy:
+            ranks = reserve_memory_for(ranks)
 
     return ranks.map_batches(
         lambda b: pa.table({"entity_id": b["id"], "rank": b["r"]}),

@@ -1,0 +1,117 @@
+"""Fixed-window token chunking + regex redaction (stages/chunk.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from duke_ray.stages.chunk import chunk_batch, chunk_tokens, regex_redact
+
+
+def _ref_chunks(text: str, chunk_size: int, stride: int):
+    """Scalar spec: split(' '), windows start at 0, stride, ... < n_tokens."""
+    toks = text.split(" ")
+    out = []
+    for j, s in enumerate(range(0, len(toks), stride)):
+        win = toks[s : s + chunk_size]
+        out.append((j, len(win), " ".join(win)))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "a b c d e f g",   # 7 tokens: short + ragged tail
+                        "x",                # single token
+                        "",                 # empty -> [''] one empty token
+                        "p q r s",          # exactly chunk-aligned cases below
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+
+
+@pytest.mark.parametrize("chunk_size,overlap", [(3, 1), (4, 0), (2, 1), (64, 16)])
+def test_chunk_matches_scalar_spec(docs, chunk_size, overlap):
+    stride = chunk_size - overlap
+    got = chunk_tokens(docs, chunk_size=chunk_size, overlap=overlap).take_all()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        )
+    texts = ["a b c d e f g", "x", "", "p q r s"]
+    for doc_id, text in enumerate(texts):
+        want = _ref_chunks(text, chunk_size, stride)
+        assert sorted(by_doc[doc_id]) == want, (doc_id, chunk_size, overlap)
+
+
+def test_chunk_overlap_reconstructs(docs):
+    # overlap=0 chunks concatenate back to the original text
+    got = chunk_tokens(docs, chunk_size=3, overlap=0).take_all()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_text"]))
+    for doc_id, text in enumerate(["a b c d e f g", "x", "", "p q r s"]):
+        parts = [t for _, t in sorted(by_doc[doc_id])]
+        assert " ".join(parts) == text
+
+
+def test_chunk_batch_vectorized_parity_random():
+    # fuzz the grouped-arange kernel against the scalar spec
+    rng = np.random.default_rng(7)
+    vocab = ["aa", "b", "ccc", "dddd", "e"]
+    texts = [
+        " ".join(rng.choice(vocab, size=int(n)))
+        for n in rng.integers(1, 40, size=200)
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    out = chunk_batch(batch, chunk_size=5, stride=3)
+    by_doc = {}
+    for i in range(out.num_rows):
+        by_doc.setdefault(out["doc_id"][i].as_py(), []).append(
+            (
+                out["chunk_idx"][i].as_py(),
+                out["n_tokens"][i].as_py(),
+                out["chunk_text"][i].as_py(),
+            )
+        )
+    for doc_id, text in enumerate(texts):
+        assert by_doc[doc_id] == _ref_chunks(text, 5, 3)
+
+
+def test_chunk_validates_params(docs):
+    with pytest.raises(ValueError):
+        chunk_tokens(docs, chunk_size=4, overlap=4)
+    with pytest.raises(ValueError):
+        chunk_tokens(docs, chunk_size=4, overlap=-1)
+
+
+def test_regex_redact(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["hash hashing key", "no match here", ""], pa.string()
+                ),
+            }
+        )
+    )
+    got = {r["doc_id"]: r for r in
+           regex_redact(docs, pattern=r"\b(hash|key)\w*\b").take_all()}
+    assert got[0]["n_redactions"] == 3
+    assert got[0]["clean_text"] == "<RED> <RED> <RED>"
+    assert got[1]["n_redactions"] == 0
+    assert got[1]["clean_text"] == "no match here"
+    assert got[2]["clean_text"] == ""

@@ -1,0 +1,213 @@
+"""Graph-analytics endurance: PageRank + connected components over a
+large synthetic entity graph (the KG edge-table shape, node count far
+beyond any gazetteer) — evidences that the iterative exchange topology in
+stages/graph.py is corpus-scale, not just gazetteer-scale.
+
+Deterministic by construction: every edge is a pure hash of its index, so
+runs at any parallelism produce the SAME graph, and integer PageRank must
+produce BIT-IDENTICAL ranks at any CPU count — that equality is the scale
+invariant this script checks when run at two parallelism levels.
+
+Each op runs in its OWN Ray session (subprocess re-exec, like
+``bench.py --scaling``): chained Ray Data executions age a session
+measurably (~10-60% per repeated identical run, 2-3x after ~15 chained
+executions — see CLAUDE.md "session aging"), so per-op numbers from one
+shared session under-report the later op at high CPU counts.
+
+Usage:
+  GRAPH_NODES=1000000 GRAPH_EDGES=10000000 RAY_GRAFT_CPUS=32 \
+    PYTHONPATH=/root/repo python tools/graph_endurance.py
+Prints one JSON line:
+  {"nodes": N, "edges": E, "pagerank_sec": s, "components_sec": s,
+   "edges_per_sec_pagerank": ..., "n_components": C, "rank_checksum": ...}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+NODES = int(os.environ.get("GRAPH_NODES", 1_000_000))
+EDGES = int(os.environ.get("GRAPH_EDGES", 10_000_000))
+COMMUNITIES = int(os.environ.get("GRAPH_COMMUNITIES", 10_000))
+CPUS = int(os.environ.get("RAY_GRAFT_CPUS", 32))
+PR_ITERS = int(os.environ.get("GRAPH_PR_ITERS", 3))
+
+
+def _mix(x: np.ndarray, salt: int) -> np.ndarray:
+    """splitmix64 finalizer — pure function of (index, salt)."""
+    z = (x + np.uint64(salt) * np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def edge_batch(batch: pa.Table) -> pa.Table:
+    """Edge i: skewed random graph (quadratic preference toward low ids —
+    hot-key stress) plus, for i < NODES, an intra-community chain edge so
+    the expected component structure is exact (COMMUNITIES components,
+    labels = community minima)."""
+    i = batch["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    K = NODES // COMMUNITIES
+    chain = i < NODES
+    # chain edges: node i -> i+1 within its community (self-loop at border)
+    nxt = np.where((i.astype(np.int64) + 1) % K == 0, i, i + np.uint64(1))
+    # random edges, community-local
+    comm = (_mix(i, 1) % np.uint64(COMMUNITIES)).astype(np.int64)
+    u = (_mix(i, 2) % np.uint64(1 << 32)).astype(np.float64) / float(1 << 32)
+    src_r = comm * K + (_mix(i, 3) % np.uint64(K)).astype(np.int64)
+    dst_r = comm * K + np.floor(u * u * K).astype(np.int64)  # quadratic skew
+    src = np.where(chain, i.astype(np.int64), src_r)
+    dst = np.where(chain, nxt.astype(np.int64), dst_r)
+    w = 1 + (_mix(i, 4) % np.uint64(5)).astype(np.int64)
+    return pa.table(
+        {
+            "subj_id": pa.array(src),
+            "pred": pa.array(np.full(len(i), "p", dtype=object), pa.string()),
+            "obj_id": pa.array(dst),
+            "n_occurrences": pa.array(w),
+            "n_pages": pa.array(np.ones(len(i), np.int64)),
+        }
+    )
+
+
+def _build_edges(cpus: int):
+    import ray
+
+    edges = (
+        ray.data.range(EDGES, override_num_blocks=8 * cpus)
+        .map_batches(edge_batch, batch_format="pyarrow", batch_size=262144)
+        .materialize()
+    )
+    return edges
+
+
+def run_pagerank() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=CPUS, include_dashboard=False, logging_level="ERROR")
+    from duke_ray.context import tune_context
+    from duke_ray.stages.graph import PR_SCALE, pagerank
+
+    tune_context()
+    edges = _build_edges(CPUS)
+
+    t0 = time.time()
+    pr = pagerank(edges, n_iter=PR_ITERS, n_meta=max(64, 4 * CPUS)).materialize()
+    pr_sec = time.time() - t0
+    # invariants: full node coverage, floor >= base term, deterministic checksum
+    base = PR_SCALE - (85 * PR_SCALE) // 100
+    stats = pr.map_batches(
+        lambda b: pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "mn": pa.array([int(np.min(b["rank"].to_numpy(zero_copy_only=False)))], pa.int64()),
+                "ck": pa.array(
+                    [int(np.bitwise_xor.reduce(_mix(
+                        b["rank"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                        + (b["entity_id"].to_numpy(zero_copy_only=False).astype(np.uint64) << np.uint64(32)),
+                        7,
+                    )).astype(np.int64))],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_ranked = int(stats["n"].sum())
+    assert n_ranked == NODES, (n_ranked, NODES)
+    assert int(stats["mn"].min()) >= base
+    checksum = int(np.bitwise_xor.reduce(stats["ck"].to_numpy().astype(np.uint64)).astype(np.int64))
+    print(json.dumps({"pagerank_sec": round(pr_sec, 2), "rank_checksum": checksum}))
+    ray.shutdown()
+
+
+def run_components() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=CPUS, include_dashboard=False, logging_level="ERROR")
+    from duke_ray.context import tune_context
+    from duke_ray.stages.graph import kg_components
+
+    tune_context()
+    edges = _build_edges(CPUS)
+
+    t0 = time.time()
+    comp = kg_components(edges).materialize()
+    comp_sec = time.time() - t0
+    cstats = comp.map_batches(
+        lambda b: pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "bad": pa.array(
+                    [
+                        int(
+                            np.sum(
+                                b["component_id"].to_numpy(zero_copy_only=False)
+                                != (
+                                    b["entity_id"].to_numpy(zero_copy_only=False)
+                                    // (NODES // COMMUNITIES)
+                                )
+                                * (NODES // COMMUNITIES)
+                            )
+                        )
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    assert int(cstats["n"].sum()) == NODES
+    assert int(cstats["bad"].sum()) == 0, "component label != community minimum"
+    print(json.dumps({"components_sec": round(comp_sec, 2)}))
+    ray.shutdown()
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo)
+    out = {}
+    for op in ("pagerank", "components"):
+        # fresh process per op: session aging across chained executions
+        # would otherwise inflate the second op's time (measured 2-3x)
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), op],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out.update(json.loads(r.stdout.strip().splitlines()[-1]))
+    print(
+        json.dumps(
+            {
+                "nodes": NODES,
+                "edges": EDGES,
+                "num_cpus": CPUS,
+                "pr_iters": PR_ITERS,
+                "pagerank_sec": out["pagerank_sec"],
+                "components_sec": out["components_sec"],
+                "edges_per_sec_pagerank": int(EDGES * PR_ITERS / out["pagerank_sec"]),
+                "n_components": COMMUNITIES,  # verified exactly by the `bad` invariant
+                "rank_checksum": out["rank_checksum"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if len(sys.argv) > 1 and sys.argv[1] == "pagerank":
+        run_pagerank()
+    elif len(sys.argv) > 1 and sys.argv[1] == "components":
+        run_components()
+    else:
+        main()
