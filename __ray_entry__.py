@@ -282,6 +282,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pii_redact"] = pii_redact
 
+    def doc_top_terms(sf):
+        """Per-doc top-5 terms by tf, ties by term asc (keyword
+        extraction); per-batch only — a doc is one row, no shuffle."""
+        from duke_ray.stages.textstats import doc_top_terms as dtt
+
+        return dtt(read_table(sf, "documents", columns=["doc_id", "text"]), k=5)
+
+    q["doc_top_terms"] = doc_top_terms
+
     def mentions(sf):
         from duke_ray.stages.triples import extract_mentions
         from duke_ray.sources import read_pages
@@ -976,6 +985,15 @@ SELECT doc_id,
        CAST(len(regexp_extract_all(text, '\b(hash|key|spark)\w*\b')) AS BIGINT) AS n_redactions,
        regexp_replace(text, '\b(hash|key|spark)\w*\b', '<RED>', 'g') AS clean_text
 FROM documents
+"""
+
+    sql["doc_top_terms"] = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+cnt AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, term),
+rk AS (SELECT doc_id, term, tf,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS BIGINT) AS rank
+       FROM cnt)
+SELECT doc_id, term, tf, rank FROM rk WHERE rank <= 5
 """
 
     sql["term_frequencies"] = f"""

@@ -762,6 +762,11 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_rounds: int = 16) -> "ray.data.
         .repartition(n_blocks)
         .materialize()
     )
+    # The carried table is NODE-sized, not edge-sized: re-tighten the round
+    # budget to ~100k labels/block once the label count is known (r4 — the
+    # edge-sized budget gave a 1M-node/10M-edge graph 200 blocks of ~80KB,
+    # and per-round task count, not data volume, dominated CC wall time).
+    n_blocks = max(8, min(n_blocks, -(-labels.count() // 100_000)))
 
     def deliver(t: pa.Table) -> pa.Table:
         """Partition holds label rows (kind 0: node -> label) and request

@@ -147,12 +147,14 @@ def pagerank(
     nodes (no out-edges) simply contribute nothing — the documented
     no-redistribution variant.
 
-    Topology per iteration (the cluster_pairs shape):
+    Topology per iteration (the cluster_pairs shape — TWO exchanges):
       exchange 1 (key = src): deliver (rank, W) to every out-edge, emit
         per-edge contributions (dst, c);
-      grouped_sum (key = dst): S(j) = sum of contributions;
-      exchange 2 (key = id): apply the update over the full node set
-        (left-join semantics: nodes without in-edges get the base term).
+      exchange 2 (key = dst/id): sum contributions per destination AND
+        apply the update over the full node set in one partition pass
+        (left-join semantics: nodes without in-edges get the base term);
+        a per-batch pyarrow group_by combine bounds hot-dst row counts
+        before the shuffle.
     The rank table is node-sized metadata; it is materialized each round so
     block counts and lineage depth stay constant across iterations."""
     from ..state.exchange import grouped_sum, partitioned_reduce
@@ -274,12 +276,18 @@ def pagerank(
                 {"dst": edge_t["dst"], "c": pa.array(c.astype(np.int64))}
             )
 
+        # exchange 2: sum contributions AND apply the update in ONE exchange
+        # (r4: was contribs -> grouped_sum -> apply, three barriers per
+        # iteration; contribs keyed by dst and the apply keyed by id hash
+        # the same int64 values, so the raw per-edge contributions union
+        # directly with the rank table and the per-dst sum runs inside the
+        # partition — integer sums are associative, values unchanged).
+        # Map-side combine first: within a batch, contributions to the same
+        # dst collapse via pyarrow group_by, bounding hot-key row counts.
         contribs = partitioned_reduce(
             rank_u.union(edge_u), "id", contrib_partition, n_meta=n_meta
         )
-        sums = grouped_sum(contribs, "dst", {"c": "S"}, n_meta=n_meta)
 
-        # exchange 2: apply over the full node set (left-join semantics)
         prev_u = ranks.map_batches(
             lambda b: pa.table(
                 {
@@ -290,28 +298,32 @@ def pagerank(
             ),
             batch_format="pyarrow",
         )
-        sums_u = sums.map_batches(
-            lambda b: pa.table(
-                {
-                    "id": b["dst"],
-                    "val": b["S"].cast(pa.int64()),
-                    "kind": pa.array(np.ones(b.num_rows, np.int8)),
-                }
-            ),
+        contrib_u = contribs.map_batches(
+            lambda b: (
+                lambda g: pa.table(
+                    {
+                        "id": g["dst"],
+                        "val": g["c_sum"].cast(pa.int64()),
+                        "kind": pa.array(np.ones(g.num_rows, np.int8)),
+                    }
+                )
+            )(b.group_by("dst").aggregate([("c", "sum")])),
             batch_format="pyarrow",
         )
 
         def apply_partition(t: pa.Table) -> pa.Table:
-            node_t, sum_t = _split_kinds(t)
+            node_t, contrib_t = _split_kinds(t)
             ids = node_t["id"].to_numpy(zero_copy_only=False)
             order = np.argsort(ids, kind="stable")
             ids = ids[order]
             W = node_t["val"].to_numpy(zero_copy_only=False)[order]
             S = np.zeros(len(ids), np.int64)
-            sid = sum_t["id"].to_numpy(zero_copy_only=False)
-            if len(sid):
-                S[np.searchsorted(ids, sid)] = sum_t["val"].to_numpy(
-                    zero_copy_only=False
+            cid = contrib_t["id"].to_numpy(zero_copy_only=False)
+            if len(cid):
+                np.add.at(
+                    S,
+                    np.searchsorted(ids, cid),
+                    contrib_t["val"].to_numpy(zero_copy_only=False),
                 )
             r = base + (damping_pct * S) // 100
             return pa.table(
@@ -319,7 +331,7 @@ def pagerank(
             )
 
         ranks = partitioned_reduce(
-            prev_u.union(sums_u), "id", apply_partition, n_meta=n_meta
+            prev_u.union(contrib_u), "id", apply_partition, n_meta=n_meta
         ).materialize()
         if heavy:
             ranks = reserve_memory_for(ranks)

@@ -449,3 +449,74 @@ def int_quantiles(
     return pa.table(
         {"p_milli": pa.array(out_p, pa.int64()), "value": pa.array(out_v, pa.int64())}
     )
+
+
+def doc_top_terms_batch(
+    batch: pa.Table, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-document top-k terms by term frequency, ties broken by term
+    ascending -> (doc_id, term, tf, rank), rank 1-based.
+
+    Tokens = text split on single spaces (the corpus normal form, matching
+    DuckDB ``string_split``). A document is one input row, so the whole
+    operator is per-batch: count (row, token) pairs with one C++
+    ``group_by``, multi-key sort, then a vectorized within-row rank."""
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    toks = pc.split_pattern(text, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = toks.flatten()
+    off = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+        toks.offset : toks.offset + len(toks) + 1
+    ].astype(np.int64)
+    lengths = off[1:] - off[:-1]
+    row = np.repeat(np.arange(len(toks), dtype=np.int64), lengths)
+
+    g = (
+        pa.table({"row": pa.array(row), "term": flat})
+        .group_by(["row", "term"])
+        .aggregate([("term", "count")])
+        .sort_by(
+            [("row", "ascending"), ("term_count", "descending"), ("term", "ascending")]
+        )
+    )
+    r = g["row"].to_numpy(zero_copy_only=False)
+    n = len(r)
+    if n == 0:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "term": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+    first = np.empty(n, dtype=bool)
+    first[0] = True
+    first[1:] = r[1:] != r[:-1]
+    starts = np.flatnonzero(first)
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, np.diff(np.append(starts, n))) + 1
+    keep = rank <= k
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": ids.cast(pa.int64()).take(pa.array(r[keep])),
+            "term": g["term"].take(pa.array(np.flatnonzero(keep))).combine_chunks(),
+            "tf": g["term_count"].take(pa.array(np.flatnonzero(keep))).cast(pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64()),
+        }
+    )
+
+
+def doc_top_terms(
+    docs: "ray.data.Dataset", k: int = 5, id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    return docs.map_batches(
+        lambda b: doc_top_terms_batch(b, k, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )

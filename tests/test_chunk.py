@@ -115,3 +115,25 @@ def test_regex_redact(ray_session):
     assert got[1]["n_redactions"] == 0
     assert got[1]["clean_text"] == "no match here"
     assert got[2]["clean_text"] == ""
+
+
+def test_doc_top_terms(ray_session):
+    from collections import Counter
+
+    from duke_ray.stages.textstats import doc_top_terms
+
+    rng = np.random.default_rng(11)
+    vocab = ["aa", "b", "ccc", "dddd", "e", "ff", "g"]
+    texts = [" ".join(rng.choice(vocab, size=int(n))) for n in rng.integers(1, 30, size=100)]
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)})
+    )
+    got = {}
+    for r in doc_top_terms(docs, k=3).take_all():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tf"]))
+    for doc_id, text in enumerate(texts):
+        c = Counter(text.split(" "))
+        want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert sorted(got[doc_id]) == [
+            (i + 1, t, n) for i, (t, n) in enumerate(want)
+        ], doc_id
