@@ -291,6 +291,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_top_terms"] = doc_top_terms
 
+    def contamination(sf):
+        """Decontamination: flag docs containing any probe n-gram (probes
+        = first trigram of every 50th doc, broadcast via ray.put; corpus
+        streams through one vectorized match_substring pass per probe)."""
+        from duke_ray.stages.contamination import (
+            contamination_flags,
+            leading_ngram_probes,
+        )
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+        probes = leading_ngram_probes(docs, n=3, every=50)
+        return contamination_flags(docs, probes)
+
+    q["contamination"] = contamination
+
     def mentions(sf):
         from duke_ray.stages.triples import extract_mentions
         from duke_ray.sources import read_pages
@@ -994,6 +1009,18 @@ rk AS (SELECT doc_id, term, tf,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS BIGINT) AS rank
        FROM cnt)
 SELECT doc_id, term, tf, rank FROM rk WHERE rank <= 5
+"""
+
+    sql["contamination"] = """
+WITH probes AS (
+  SELECT DISTINCT array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS ngram
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT d.doc_id,
+       CAST(SUM(CASE WHEN contains(' ' || d.text || ' ', ' ' || p.ngram || ' ') THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       SUM(CASE WHEN contains(' ' || d.text || ' ', ' ' || p.ngram || ' ') THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM documents d CROSS JOIN probes p
+GROUP BY d.doc_id
 """
 
     sql["term_frequencies"] = f"""

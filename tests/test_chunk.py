@@ -137,3 +137,31 @@ def test_doc_top_terms(ray_session):
         assert sorted(got[doc_id]) == [
             (i + 1, t, n) for i, (t, n) in enumerate(want)
         ], doc_id
+
+
+def test_contamination(ray_session):
+    from duke_ray.stages.contamination import contamination_flags, leading_ngram_probes
+
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 50, 7, 8], pa.int64()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta",      # probe source: 'alpha beta gamma'
+                        "red green blue",               # probe source: 'red green blue'
+                        "x alpha beta gamma y",         # contains probe 0 at boundaries
+                        "xalpha beta gamma",            # NOT boundary-exact for probe 0
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    probes = leading_ngram_probes(docs, n=3, every=50)
+    assert probes == ["alpha beta gamma", "red green blue"]
+    got = {r["doc_id"]: r for r in contamination_flags(docs, probes).take_all()}
+    assert got[0]["n_hits"] == 1 and got[0]["contaminated"]
+    assert got[50]["n_hits"] == 1 and got[50]["contaminated"]
+    assert got[7]["n_hits"] == 1 and got[7]["contaminated"]
+    assert got[8]["n_hits"] == 0 and not got[8]["contaminated"]
