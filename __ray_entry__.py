@@ -520,6 +520,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["clean_corpus"] = clean_corpus
 
+    def prep_training_data(sf):
+        """End-to-end training-data prep (pipelines/prep.py): lang+quality
+        filter -> exact dedup -> survivor semi-join -> fixed-window token
+        chunking -> deterministic md5 train/val split. Input = documents
+        plus EXACT copies (doc_id + 20M) so the dedup leg has real work;
+        output rows are (doc_id, chunk_idx, n_tokens, chunk_text, split)."""
+        from duke_ray.pipelines.prep import prep_training_data as prep
+
+        docs = _extracted(sf)
+
+        def copies(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids + 20_000_000, pa.int64()),
+                    "text": batch["text"].combine_chunks(),
+                }
+            )
+
+        corpus = docs.union(docs.map_batches(copies, batch_format="pyarrow"))
+        return prep(corpus, chunk_size=40, overlap=8, val_rate_256=64)
+
+    q["prep_training_data"] = prep_training_data
+
     def hash_sample(sf):
         """Deterministic md5-keyed Bernoulli sample (rate 64/256 = 25%)."""
         from duke_ray.stages.sampling import hash_sample as hs
@@ -1258,6 +1282,54 @@ kept AS (
     AND NOT regexp_matches(d.text, '[àâçèéêëîïôùûœ]')
 )
 SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+"""
+
+    # prep_training_data: clean_corpus's filter chain (copies-only corpus),
+    # then the doc_chunks windowing spec (40/8 -> stride 32), then the
+    # hash_sample md5 split convention on (doc_id ':' chunk_idx).
+    sql["prep_training_data"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id, text FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus
+),
+st AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1) AS stop_ratio,
+         SUM(length(tok)) / GREATEST(COUNT(*), 1) AS avg_len
+  FROM toks GROUP BY doc_id
+),
+q AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END
+          + CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 30 ELSE 0 END
+          + CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 30 ELSE 0 END)::BIGINT AS quality_centi
+  FROM st
+),
+kept AS (
+  SELECT d.doc_id, d.text FROM corpus d JOIN q USING (doc_id)
+  WHERE q.quality_centi >= 70
+    AND NOT regexp_matches(d.text, '[\\x{{4E00}}-\\x{{9FFF}}]')
+    AND NOT regexp_matches(d.text, '[ñ¿¡]')
+    AND NOT regexp_matches(d.text, '[äöüß]')
+    AND NOT regexp_matches(d.text, '[àâçèéêëîïôùûœ]')
+),
+surv AS (SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text),
+docs2 AS (SELECT k.doc_id, string_split(k.text, ' ') AS t FROM kept k JOIN surv USING (doc_id)),
+chunks AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0, CAST((len(t)-1)//32 AS BIGINT))) AS chunk_idx
+  FROM docs2
+)
+SELECT doc_id, chunk_idx,
+       CAST(least(len(t) - chunk_idx*32, 40) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, chunk_idx*32+1, chunk_idx*32+40), ' ') AS chunk_text,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)), 1, 2) < '40'
+            THEN 'val' ELSE 'train' END AS split
+FROM chunks
 """
 
     # Exact k=3-shingle Jaccard over the perturbed corpus (documents plus a

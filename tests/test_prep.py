@@ -1,0 +1,105 @@
+"""End-to-end training-data prep (pipelines/prep.py): filter -> exact
+dedup -> survivor semi-join -> chunk -> md5 split. The composed "user
+story" pipeline; the oracle-grade equivalence vs DuckDB runs in the
+driver gate (queries()['prep_training_data'])."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from duke_ray.pipelines.prep import assign_split, prep_training_data, semi_join_ids
+
+
+def _docs(ray_session):
+    # 10+ token docs pass the quality length gate; <10 fail it.
+    good = "the quick brown fox jumps over the lazy dog again and again"
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(
+                    [
+                        good,            # kept, survivor of the dup pair
+                        good,            # exact dup of 1 -> dropped
+                        good + " more",  # kept, distinct
+                        "too short",     # quality-dropped (2 tokens)
+                        "der the über " + good,  # lang-dropped (ü diacritic)
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+
+
+def test_semi_join_ids(ray_session):
+    rows = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["a", "b", "c", "d"], pa.string()),
+            }
+        )
+    )
+    ids = ray.data.from_arrow(pa.table({"doc_id": pa.array([2, 4, 9], pa.int64())}))
+    got = sorted(
+        (r["doc_id"], r["text"]) for r in semi_join_ids(rows, ids).take_all()
+    )
+    assert got == [(2, "b"), (4, "d")]
+
+
+def test_assign_split_matches_md5_convention(ray_session):
+    chunks = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(50)), pa.int64()),
+                "chunk_idx": pa.array([i % 3 for i in range(50)], pa.int64()),
+                "chunk_text": pa.array(["t"] * 50, pa.string()),
+            }
+        )
+    )
+    got = assign_split(chunks, val_rate_256=64).take_all()
+    for r in got:
+        h = hashlib.md5(f"{r['doc_id']}:{r['chunk_idx']}".encode()).hexdigest()
+        want = "val" if h[:2] < "40" else "train"
+        assert r["split"] == want, r
+    # determinism: same inputs, same assignment, both labels present
+    labels = {r["split"] for r in got}
+    assert labels == {"train", "val"}
+
+
+def test_assign_split_validates_rate(ray_session):
+    chunks = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "chunk_idx": pa.array([0], pa.int64())})
+    )
+    with pytest.raises(ValueError):
+        assign_split(chunks, val_rate_256=256)
+
+
+def test_prep_training_data_end_to_end(ray_session):
+    out = prep_training_data(
+        _docs(ray_session), chunk_size=5, overlap=1, val_rate_256=64
+    ).take_all()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 2 (dup), 4 (quality), 5 (lang) are gone; 1 and 3 survive
+    assert sorted(by_doc) == [1, 3]
+    # doc 1: 12 tokens, stride 4 -> 3 chunks of 5,5,4 tokens
+    c1 = sorted((r["chunk_idx"], r["n_tokens"]) for r in by_doc[1])
+    assert c1 == [(0, 5), (1, 5), (2, 4)]
+    # chunk text round-trips the token windows
+    toks = (
+        "the quick brown fox jumps over the lazy dog again and again".split(" ")
+    )
+    for r in by_doc[1]:
+        s = r["chunk_idx"] * 4
+        assert r["chunk_text"] == " ".join(toks[s : s + 5])
+    # split column is the md5 rule
+    for r in out:
+        h = hashlib.md5(f"{r['doc_id']}:{r['chunk_idx']}".encode()).hexdigest()
+        assert r["split"] == ("val" if h[:2] < "40" else "train")
