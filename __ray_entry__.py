@@ -291,6 +291,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_top_terms"] = doc_top_terms
 
+    def repetition_stats(sf):
+        """Gopher-style within-doc repetition signals (integer milli
+        units); pure per-batch map, no shuffle."""
+        from duke_ray.stages.textstats import repetition_stats as rs
+
+        return rs(read_table(sf, "documents", columns=["doc_id", "text"]))
+
+    q["repetition_stats"] = repetition_stats
+
+    def inverted_index(sf):
+        """Sharded inverted index: (term, doc-range bucket) -> df, tf and
+        the sorted posting list; one term-keyed exchange of exact
+        per-batch partials."""
+        from duke_ray.stages.index import inverted_index as inv
+
+        return inv(
+            read_table(sf, "documents", columns=["doc_id", "text"]),
+            bucket_span=1024,
+        )
+
+    q["inverted_index"] = inverted_index
+
+    def domain_stats(sf):
+        """Per-host page + token rollup over the pages table (host parsed
+        from the url column; oracle reconstructs the synthetic host from
+        doc_id — synth.doc_url embeds doc_id % 101)."""
+        from duke_ray.stages.extract import extract_text
+        from duke_ray.stages.web import domain_stats as dstats
+        from duke_ray.sources import read_pages
+
+        return dstats(extract_text(read_pages(sf)))
+
+    q["domain_stats"] = domain_stats
+
     def contamination(sf):
         """Decontamination: flag docs containing any probe n-gram (probes
         = first trigram of every 50th doc, broadcast via ray.put; corpus
@@ -1033,6 +1067,49 @@ rk AS (SELECT doc_id, term, tf,
        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) AS BIGINT) AS rank
        FROM cnt)
 SELECT doc_id, term, tf, rank FROM rk WHERE rank <= 5
+"""
+
+    sql["repetition_stats"] = """
+WITH flat AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+base AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+  FROM flat GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM flat
+),
+bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY doc_id, b),
+bgm AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_bigram_n FROM bgc GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
+       b.n_tokens - 1 AS n_bigrams,
+       COALESCE(m.max_bigram_n, 0) AS max_bigram_n,
+       (b.n_tokens - b.n_distinct_tokens) * 1000 // b.n_tokens AS dup_token_milli,
+       COALESCE(m.max_bigram_n, 0) * 1000 // GREATEST(b.n_tokens - 1, 1) AS top_bigram_milli
+FROM base b LEFT JOIN bgm m USING (doc_id)
+"""
+
+    sql["inverted_index"] = """
+WITH flat AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tfs AS (SELECT term, doc_id, COUNT(*) AS tf FROM flat GROUP BY term, doc_id)
+SELECT term, CAST(doc_id // 1024 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS tf,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM tfs GROUP BY term, (doc_id // 1024)
+"""
+
+    # host reconstructed from doc_id: synth.doc_url = 'site{id%101}.example'
+    sql["domain_stats"] = """
+SELECT 'site' || CAST(doc_id % 101 AS VARCHAR) || '.example' AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY domain
 """
 
     sql["contamination"] = """

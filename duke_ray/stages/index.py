@@ -1,0 +1,117 @@
+"""Distributed inverted-index construction: term -> sharded posting lists.
+
+The IR building block the reference lacks (its text handling stops at
+vocab membership, /root/reference/Duke/embedding.py) and a first-class
+100-TB op: posting lists are sharded by doc-id RANGE (``bucket = doc_id
+// bucket_span``), the standard segment layout — a hot term ("the") never
+becomes one giant row; each (term, bucket) shard is bounded by the span,
+stays sorted (delta-compressible), and new doc ranges append as new
+buckets without touching existing shards (same incremental-maintenance
+property as pipelines/kg.py:merge_*_tables).
+
+Topology: one corpus scan emits exact per-batch partials (term, bucket,
+doc_id, tf) — exact because a document is one input row, so a (term,
+doc_id) pair never spans batches (the invariant KG extraction relies on,
+stages/triples.py) — then ONE term-keyed ``partitioned_reduce`` groups
+shards with C++ sort + numpy boundary detection + an Arrow ListArray
+``binary_join``. No per-key Python; shuffle volume = distinct (term,
+doc, bucket) partials, not corpus bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .tokens import FlatTokens
+
+
+def _posting_partials(
+    batch: pa.Table, bucket_span: int, id_col: str, text_col: str
+) -> pa.Table:
+    flat = FlatTokens.from_text(batch[text_col])
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    doc = ids.cast(pa.int64()).to_numpy(zero_copy_only=False)[flat.row]
+    t = pa.table(
+        {
+            "term": flat.tokens,
+            "doc_id": pa.array(doc, pa.int64()),
+        }
+    )
+    g = t.group_by(["term", "doc_id"]).aggregate([("doc_id", "count")])
+    d = g["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "term": g["term"],
+            "bucket": pa.array(d // bucket_span, pa.int64()),
+            "doc_id": g["doc_id"],
+            "tf": g["doc_id_count"].cast(pa.int64()),
+        }
+    )
+
+
+def _reduce_shards(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "bucket": pa.array([], pa.int64()),
+                "df": pa.array([], pa.int64()),
+                "tf": pa.array([], pa.int64()),
+                "postings": pa.array([], pa.string()),
+            }
+        )
+    t = t.sort_by(
+        [("term", "ascending"), ("bucket", "ascending"), ("doc_id", "ascending")]
+    )
+    term = t["term"].combine_chunks() if isinstance(t["term"], pa.ChunkedArray) else t["term"]
+    codes = pc.dictionary_encode(term).indices.to_numpy(zero_copy_only=False)
+    bucket = t["bucket"].to_numpy(zero_copy_only=False)
+    tf = t["tf"].to_numpy(zero_copy_only=False)
+    new = np.ones(len(codes), dtype=bool)
+    new[1:] = (codes[1:] != codes[:-1]) | (bucket[1:] != bucket[:-1])
+    starts = np.flatnonzero(new)
+    ends = np.append(starts[1:], len(codes))
+    doc_str = pc.cast(t["doc_id"], pa.string())
+    if isinstance(doc_str, pa.ChunkedArray):
+        doc_str = doc_str.combine_chunks()
+    offsets = np.append(starts, len(codes)).astype(np.int64)
+    postings = pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), doc_str), ","
+    )
+    return pa.table(
+        {
+            "term": term.take(pa.array(starts, pa.int64())),
+            "bucket": pa.array(bucket[starts], pa.int64()),
+            "df": pa.array(ends - starts, pa.int64()),
+            "tf": pa.array(np.add.reduceat(tf, starts), pa.int64()),
+            "postings": postings,
+        }
+    )
+
+
+def inverted_index(
+    docs: "ray.data.Dataset",
+    bucket_span: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_meta: int = 256,
+) -> "ray.data.Dataset":
+    """(doc_id, text) -> (term, bucket, df, tf, postings): per (term,
+    doc-range bucket) shard, the document frequency, summed term
+    frequency, and the comma-joined ascending doc-id posting list."""
+    if bucket_span <= 0:
+        raise ValueError(f"bucket_span must be positive, got {bucket_span}")
+    from ..state.exchange import partitioned_reduce
+
+    partials = docs.map_batches(
+        lambda b: _posting_partials(b, bucket_span, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )
+    return partitioned_reduce(partials, "term", _reduce_shards, n_meta=n_meta)

@@ -520,3 +520,84 @@ def doc_top_terms(
         batch_format="pyarrow",
         batch_size=8192,
     )
+
+
+# --- within-doc repetition (Gopher-style quality signals) --------------------
+
+def repetition_stats_batch(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Per-document repetition signals (all integers, hash-comparable):
+
+        n_tokens, n_distinct_tokens, n_bigrams (= n_tokens - 1),
+        max_bigram_n (count of the most frequent within-doc bigram),
+        dup_token_milli  = (n_tokens - n_distinct) * 1000 // n_tokens,
+        top_bigram_milli = max_bigram_n * 1000 // max(n_bigrams, 1)
+
+    The duplicate-token and top-n-gram fractions are the Gopher repetition
+    filters (Rae et al. 2021, public paper) reduced to exact integer milli
+    units so the DuckDB oracle value-hashes. A document is one input row,
+    so the whole operator is per-batch: one C++ multi-key ``group_by`` for
+    distinct counts, one for bigram counts, numpy scatter-max for the per-
+    row maximum. No shuffle; streams at any corpus size."""
+    text = batch[text_col]
+    flat = FlatTokens.from_text(text)
+    n_rows = flat.n_rows
+    n_tokens = flat.row_lengths()  # >= 1 always ('' -> [''])
+
+    # distinct tokens per row: group (row, token), then count groups per row
+    gt = pa.table({"r": pa.array(flat.row), "tok": flat.tokens})
+    gd = gt.group_by(["r", "tok"]).aggregate([])
+    n_distinct = np.zeros(n_rows, dtype=np.int64)
+    np.add.at(n_distinct, gd["r"].to_numpy(zero_copy_only=False), 1)
+
+    # bigrams: adjacent flat tokens within the same row (flat is row-major)
+    toks = flat.tokens
+    if len(toks) > 1:
+        same_row = flat.row[1:] == flat.row[:-1]
+        bg = pc.binary_join_element_wise(
+            toks.slice(0, len(toks) - 1), toks.slice(1), " "
+        )
+        bg_t = pa.table(
+            {
+                "r": pa.array(flat.row[:-1][same_row]),
+                "bg": bg.filter(pa.array(same_row)),
+            }
+        )
+        gb = bg_t.group_by(["r", "bg"]).aggregate([("bg", "count")])
+        max_bg = np.zeros(n_rows, dtype=np.int64)
+        np.maximum.at(
+            max_bg,
+            gb["r"].to_numpy(zero_copy_only=False),
+            gb["bg_count"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
+    else:
+        max_bg = np.zeros(n_rows, dtype=np.int64)
+
+    n_bigrams = n_tokens - 1
+    dup_milli = (n_tokens - n_distinct) * 1000 // n_tokens
+    top_bg_milli = max_bg * 1000 // np.maximum(n_bigrams, 1)
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table(
+        {
+            "doc_id": ids.cast(pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "n_distinct_tokens": pa.array(n_distinct, pa.int64()),
+            "n_bigrams": pa.array(n_bigrams, pa.int64()),
+            "max_bigram_n": pa.array(max_bg, pa.int64()),
+            "dup_token_milli": pa.array(dup_milli, pa.int64()),
+            "top_bigram_milli": pa.array(top_bg_milli, pa.int64()),
+        }
+    )
+
+
+def repetition_stats(
+    docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"
+) -> "ray.data.Dataset":
+    return docs.map_batches(
+        lambda b: repetition_stats_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        batch_size=8192,
+    )

@@ -1,0 +1,101 @@
+"""Inverted index (stages/index.py), repetition stats (textstats), and
+webtext domain ops (stages/web.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from duke_ray.stages.index import inverted_index
+from duke_ray.stages.textstats import repetition_stats_batch
+from duke_ray.stages.web import domain_stats, url_host
+
+
+def test_repetition_stats_batch_spec():
+    b = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a a a a",        # 4 tokens, 1 distinct, bigram 'a a' x3
+                    "x y x y x",      # 5 tokens, 2 distinct, 'x y' x2
+                    "",               # [''] -> 1 token, 0 bigrams
+                    "solo",           # 1 token
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    t = repetition_stats_batch(b).to_pydict()
+    assert t["n_tokens"] == [4, 5, 1, 1]
+    assert t["n_distinct_tokens"] == [1, 2, 1, 1]
+    assert t["n_bigrams"] == [3, 4, 0, 0]
+    assert t["max_bigram_n"] == [3, 2, 0, 0]
+    assert t["dup_token_milli"] == [750, 600, 0, 0]
+    assert t["top_bigram_milli"] == [1000, 500, 0, 0]
+
+
+def test_inverted_index_explicit(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 5, 9], pa.int64()),
+                "text": pa.array(["a b a", "b c", "a", "c c c"], pa.string()),
+            }
+        )
+    )
+    rows = inverted_index(docs, bucket_span=4).take_all()
+    got = {(r["term"], r["bucket"]): (r["df"], r["tf"], r["postings"]) for r in rows}
+    # buckets: doc 0,1 -> 0; doc 5 -> 1; doc 9 -> 2
+    assert got[("a", 0)] == (1, 2, "0")
+    assert got[("a", 1)] == (1, 1, "5")
+    assert got[("b", 0)] == (2, 2, "0,1")
+    assert got[("c", 0)] == (1, 1, "1")
+    assert got[("c", 2)] == (1, 3, "9")
+    assert len(got) == 5
+
+
+def test_inverted_index_validates_span(ray_session):
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["a"], pa.string())})
+    )
+    with pytest.raises(ValueError):
+        inverted_index(docs, bucket_span=0)
+
+
+def test_url_host_edges():
+    urls = pa.array(
+        [
+            "https://site7.example/p/7",
+            "http://Host.TLD:8080/path?q=1",
+            "ftp://files.example",
+            "not a url",
+            None,
+        ],
+        pa.string(),
+    )
+    got = url_host(urls).to_pylist()
+    assert got == ["site7.example", "host.tld:8080", "files.example", None, None]
+
+
+def test_domain_stats(ray_session):
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    [
+                        "https://a.example/1",
+                        "https://a.example/2",
+                        "https://b.example/1",
+                    ],
+                    pa.string(),
+                ),
+                "text": pa.array(["x y z", "x", "p q"], pa.string()),
+            }
+        )
+    )
+    rows = sorted(
+        (r["domain"], r["n_pages"], r["n_tokens"]) for r in domain_stats(pages).take_all()
+    )
+    assert rows == [("a.example", 2, 4), ("b.example", 1, 2)]
