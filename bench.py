@@ -115,6 +115,16 @@ def run_bench() -> dict:
     cluster_pairs(pairs).count()
     timings["ngram_dedup_clusters"] = round(time.time() - t0, 3)
 
+    # composed training-data prep user story (filter -> dedup -> semi-join
+    # -> chunk -> split); consumed with count() so the chunk expansion runs
+    from duke_ray.pipelines.prep import prep_training_data
+
+    t0 = time.time()
+    prep_training_data(
+        read_table(SF_DIR, "documents", columns=["doc_id", "text"])
+    ).count()
+    timings["prep_training_data"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "kg_pipeline_sec",
         "value": timings["kg_pipeline"],
