@@ -243,6 +243,50 @@ def run_endurance() -> dict:
     stats["exact_dedup"] = {"survivors": n_survivors, "rows": n_rows}
     assert n_survivors == n_rows, "varied corpus has no exact dups by construction"
 
+    # inverted index: the posting-partials exchange is corpus-TOKEN-scale
+    # (one row per distinct (term, doc) pair), the heaviest shuffle in the
+    # suite — the leg that would livelock first if backpressure regresses.
+    # In-flight working set ~ the partials table -> heavy-plan reservation
+    # opt-in, same as the dedup verify exchanges (BASELINE.md r4).
+    from duke_ray.context import reserve_memory_for
+    from duke_ray.stages.index import inverted_index
+
+    t0 = time.time()
+    corpus = read_documents_varied(SF_DIR, REPLICAS)
+    if n_rows > 1_000_000:
+        reserve_memory_for(corpus)
+    idx = inverted_index(corpus, bucket_span=65536)
+
+    def shard_checks(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_docs_in_postings = pc.add(
+            pc.count_substring(b["postings"], ","), pa.scalar(1, pa.int32())
+        ).cast(pa.int64())
+        ok_df = pc.equal(n_docs_in_postings, b["df"])
+        ok_tf = pc.greater_equal(b["tf"], b["df"])
+        return pa.table(
+            {
+                "shards": pa.array([b.num_rows], pa.int64()),
+                "df_sum": pa.array([pc.sum(b["df"]).as_py() or 0], pa.int64()),
+                "tf_sum": pa.array([pc.sum(b["tf"]).as_py() or 0], pa.int64()),
+                "bad": pa.array(
+                    [pc.sum(pc.invert(pc.and_(ok_df, ok_tf))).as_py() or 0],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    chk = idx.map_batches(shard_checks, batch_format="pyarrow").to_pandas()
+    timings["inverted_index"] = round(time.time() - t0, 3)
+    stats["inverted_index"] = {
+        "shards": int(chk["shards"].sum()),
+        "df_sum": int(chk["df_sum"].sum()),
+        "tf_sum": int(chk["tf_sum"].sum()),
+    }
+    assert int(chk["bad"].sum()) == 0, "postings/df/tf invariant violated"
+    assert int(chk["df_sum"].sum()) > 0
+
     total = sum(timings.values())
     result = {
         "metric": "dedup_endurance_sec",
@@ -254,7 +298,7 @@ def run_endurance() -> dict:
         "num_cpus": NUM_CPUS,
         "replicas": REPLICAS,
         "n_rows": n_rows,
-        "rows_per_sec": round(3 * n_rows / total, 1),
+        "rows_per_sec": round(4 * n_rows / total, 1),
     }
     ray.shutdown()
     return result
