@@ -771,6 +771,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["knn_topk"] = knn_topk
 
+    def label_centroids(sf):
+        """Per-label centroid component sums in exact integer micro-units
+        (order-independent int64 sums — the k-means E-step, hash-
+        comparable via the integer-PageRank template)."""
+        from duke_ray.stages.embedagg import label_centroid_sums
+
+        return label_centroid_sums(
+            read_table(sf, "embeddings", columns=["label", "embedding"])
+        )
+
+    q["label_centroids"] = label_centroids
+
     def lsh_cosine_pairs(sf):
         """Embedding near-dup pairs over the corpus plus deterministic noisy
         copies (vec_id + 10M, vector + 0.1*Philox(vec_id) noise) — the driver
@@ -1530,6 +1542,20 @@ SELECT query_id, neighbor_id, rank FROM (
          ) AS rank
   FROM q CROSS JOIN embeddings e
 ) WHERE rank <= 5
+"""
+
+    # micro-unit quantization: floor(CAST(e AS DOUBLE)*1e6 + 0.5) is the
+    # same IEEE float64 op chain numpy runs, so both sides produce the
+    # identical int64 before any summation-order-dependent arithmetic
+    sql["label_centroids"] = """
+WITH flat AS (
+  SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim,
+       CAST(SUM(CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM flat GROUP BY label, dim
 """
 
     from duke_ray.pipelines import relational as rel

@@ -99,3 +99,62 @@ def test_domain_stats(ray_session):
         (r["domain"], r["n_pages"], r["n_tokens"]) for r in domain_stats(pages).take_all()
     )
     assert rows == [("a.example", 2, 4), ("b.example", 1, 2)]
+
+
+def test_label_centroid_sums(ray_session):
+    from duke_ray.stages.embedagg import label_centroid_sums
+
+    vecs = ray.data.from_arrow(
+        pa.table(
+            {
+                "label": pa.array([0, 0, 1], pa.int32()),
+                "embedding": pa.array(
+                    [[1.25, -0.5], [0.25, 0.5], [2.0, 3.0]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+    )
+    rows = {
+        (r["label"], r["dim"]): (r["sum_micro"], r["n_vecs"])
+        for r in label_centroid_sums(vecs).take_all()
+    }
+    assert rows == {
+        (0, 0): (1_500_000, 2),
+        (0, 1): (0, 2),
+        (1, 0): (2_000_000, 1),
+        (1, 1): (3_000_000, 1),
+    }
+
+
+def test_label_centroid_sums_half_up_and_validation(ray_session):
+    from duke_ray.stages.embedagg import label_centroid_sums
+
+    # floor(x*1e6 + 0.5): -0.0000005 -> 0, +0.0000005 -> 1 (half-up)
+    vecs = ray.data.from_arrow(
+        pa.table(
+            {
+                "label": pa.array([3], pa.int32()),
+                "embedding": pa.array([[0.0000005, -0.0000005]], pa.list_(pa.float32())),
+            }
+        )
+    )
+    rows = {r["dim"]: r["sum_micro"] for r in label_centroid_sums(vecs).take_all()}
+    # float32(5e-7) is slightly above/below the exact half; just pin the
+    # invariant both sides compute: floor(float64(x)*1e6 + 0.5)
+    import numpy as np
+
+    f = np.float32([0.0000005, -0.0000005]).astype(np.float64)
+    want = np.floor(f * 1_000_000 + 0.5).astype(np.int64)
+    assert rows == {0: int(want[0]), 1: int(want[1])}
+
+    bad = ray.data.from_arrow(
+        pa.table(
+            {
+                "label": pa.array([-1], pa.int32()),
+                "embedding": pa.array([[1.0]], pa.list_(pa.float32())),
+            }
+        )
+    )
+    with pytest.raises(Exception):
+        label_centroid_sums(bad).take_all()
