@@ -499,6 +499,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_update_edges"] = kg_update_edges
 
+    def kg_reach(sf):
+        """Directed BFS hop distances from seed entities (id % 5 == 0):
+        integer hops are summation-order-free, so the distributed
+        frontier expansion hash-matches the recursive-CTE oracle."""
+        from duke_ray.stages.graph import kg_reach as reach
+
+        return reach(_kg_edges_ds(sf), seed_mod=5, max_hops=4)
+
+    q["kg_reach"] = kg_reach
+
     def entity_link(sf):
         """Linked mentions; the per-surface link decision is deterministic,
         so the oracle inlines the expected surface->entity map as VALUES
@@ -1284,6 +1294,22 @@ pr{_k} AS (
         + _pr_chain
         + '\nSELECT id AS entity_id, r AS "rank" FROM pr5\n'
     )
+
+    # BFS hop distances: recursive walk bounded at 4 hops; MIN(h) over all
+    # enumerated (node, hops) rows is the BFS distance. UNION (not UNION
+    # ALL) dedups rows, so the recursion terminates on cyclic graphs.
+    sql["kg_reach"] = _triples_sql_core().replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ) + _eg_cte + """,
+redges AS (SELECT subj_id AS s, obj_id AS d FROM eg GROUP BY 1, 2),
+rvs AS (SELECT s AS id FROM redges UNION SELECT d FROM redges),
+walk(v, h) AS (
+  SELECT id, 0 FROM rvs WHERE id % 5 = 0
+  UNION
+  SELECT e.d, w.h + 1 FROM walk w JOIN redges e ON e.s = w.v WHERE w.h < 4
+)
+SELECT v AS entity_id, CAST(MIN(h) AS BIGINT) AS hops FROM walk GROUP BY v
+"""
 
     # expected per-surface link decisions, computed locally by the same
     # deterministic top-k NN logic the distributed LinkActor runs

@@ -130,6 +130,154 @@ def _split_kinds(t: pa.Table, kind_col: str = "kind"):
     return t.filter(pa.array(k == 0)), t.filter(pa.array(k == 1))
 
 
+def kg_reach(
+    edges: "ray.data.Dataset",
+    seed_mod: int = 5,
+    max_hops: int = 4,
+    n_meta: int = 64,
+) -> "ray.data.Dataset":
+    """Directed BFS hop distances from seed entities -> (entity_id, hops).
+
+    Seeds are the nodes with ``entity_id % seed_mod == 0`` (a closed-form
+    rule so the DuckDB recursive-CTE oracle names the same set); hops is
+    the minimum number of directed edges from any seed, bounded by
+    ``max_hops``. Nodes not reached within the bound are absent.
+
+    Topology per hop (the pagerank/components shape — two metadata-sized
+    exchanges): exchange 1 keyed by src expands the current frontier
+    across its out-edges (per-partition numpy membership + unique, no
+    per-key Python); exchange 2 keyed by node id settles candidates into
+    the distance table (already-settled nodes keep their smaller hop —
+    first arrival IS the BFS distance). The distance table is node-sized,
+    materialized per round so lineage and block counts stay fixed (the r2
+    iterative-loop lesson); the loop exits early once a round settles no
+    new node, so the cost is 2 * min(max_hops, eccentricity) exchanges.
+    Integer hop counts are summation-order-free, so any cluster size
+    reproduces the oracle bit-exactly (CLAUDE.md: no float aggregates).
+    """
+    from ..state.exchange import partitioned_reduce
+
+    proj = _project_edges(edges).materialize()
+
+    def seed_rows(b: pa.Table) -> pa.Table:
+        ids = np.unique(
+            np.concatenate(
+                [
+                    b["src"].to_numpy(zero_copy_only=False),
+                    b["dst"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        ids = ids[ids % seed_mod == 0]
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "d": pa.array(np.zeros(len(ids), np.int64)),
+            }
+        )
+
+    def dedup_ids(t: pa.Table) -> pa.Table:
+        ids = np.unique(t["id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "d": pa.array(np.zeros(len(ids), np.int64)),
+            }
+        )
+
+    dist = partitioned_reduce(
+        proj.map_batches(seed_rows, batch_format="pyarrow"),
+        "id",
+        dedup_ids,
+        n_meta=n_meta,
+    ).materialize()
+    frontier = dist
+
+    def _tag(col_extra: dict, kind: int):
+        def f(b: pa.Table) -> pa.Table:
+            cols = {k: (v(b) if callable(v) else b[v]) for k, v in col_extra.items()}
+            cols["kind"] = pa.array(np.full(b.num_rows, kind, np.int8))
+            return pa.table(cols)
+
+        return f
+
+    for hop in range(1, max_hops + 1):
+        if frontier.count() == 0:
+            break
+
+        f_u = frontier.map_batches(
+            _tag(
+                {
+                    "id": "id",
+                    "dst": lambda b: pa.array(np.zeros(b.num_rows, np.int64)),
+                },
+                0,
+            ),
+            batch_format="pyarrow",
+        )
+        e_u = proj.map_batches(
+            _tag({"id": "src", "dst": "dst"}, 1), batch_format="pyarrow"
+        )
+
+        def expand_partition(t: pa.Table) -> pa.Table:
+            f_t, e_t = _split_kinds(t)
+            fids = np.unique(f_t["id"].to_numpy(zero_copy_only=False))
+            eid = e_t["id"].to_numpy(zero_copy_only=False)
+            dst = e_t["dst"].to_numpy(zero_copy_only=False)
+            hit = np.unique(dst[np.isin(eid, fids)])
+            return pa.table({"id": pa.array(hit, pa.int64())})
+
+        cand = partitioned_reduce(
+            f_u.union(e_u), "id", expand_partition, n_meta=n_meta
+        )
+
+        d_u = dist.map_batches(
+            _tag({"id": "id", "d": "d"}, 0), batch_format="pyarrow"
+        )
+        c_u = cand.map_batches(
+            _tag(
+                {
+                    "id": "id",
+                    "d": lambda b, hop=hop: pa.array(
+                        np.full(b.num_rows, hop, np.int64)
+                    ),
+                },
+                1,
+            ),
+            batch_format="pyarrow",
+        )
+
+        def settle_partition(t: pa.Table, hop: int = hop) -> pa.Table:
+            d_t, c_t = _split_kinds(t)
+            known = d_t["id"].to_numpy(zero_copy_only=False)
+            kd = d_t["d"].to_numpy(zero_copy_only=False)
+            cid = np.unique(c_t["id"].to_numpy(zero_copy_only=False))
+            new = cid[~np.isin(cid, known)]
+            return pa.table(
+                {
+                    "id": pa.array(np.concatenate([known, new]), pa.int64()),
+                    "d": pa.array(
+                        np.concatenate([kd, np.full(len(new), hop, np.int64)])
+                    ),
+                }
+            )
+
+        dist = partitioned_reduce(
+            d_u.union(c_u), "id", settle_partition, n_meta=n_meta
+        ).materialize()
+        frontier = dist.map_batches(
+            lambda b, hop=hop: b.filter(
+                pc.equal(b["d"], pa.scalar(hop, pa.int64()))
+            ),
+            batch_format="pyarrow",
+        )
+
+    return dist.map_batches(
+        lambda b: pa.table({"entity_id": b["id"], "hops": b["d"]}),
+        batch_format="pyarrow",
+    )
+
+
 def pagerank(
     edges: "ray.data.Dataset",
     n_iter: int = 5,

@@ -233,3 +233,46 @@ def test_update_kg_tables_end_to_end(ray_session, sf_dir, tmp_path):
         cols = [c for c in ref.columns if c != "bucket"]
         pd.testing.assert_frame_equal(got[cols], ref[cols], check_dtype=False)
     assert metrics["n_edges"] > 0 and metrics["n_nodes"] > 0
+
+
+def _bfs_serial(rows, seed_mod, max_hops):
+    """Serial BFS reference over the distinct (src, dst) digraph."""
+    from collections import deque
+
+    edges = {}
+    nodes = set()
+    for s, _p, o, _w, _np in rows:
+        edges.setdefault(s, set()).add(o)
+        nodes.update((s, o))
+    dist = {v: 0 for v in nodes if v % seed_mod == 0}
+    dq = deque(sorted(dist))
+    while dq:
+        v = dq.popleft()
+        if dist[v] >= max_hops:
+            continue
+        for u in sorted(edges.get(v, ())):
+            if u not in dist:
+                dist[u] = dist[v] + 1
+                dq.append(u)
+    return dist
+
+
+@pytest.mark.parametrize("seed_mod,max_hops", [(5, 2), (7, 4), (1000, 3)])
+def test_kg_reach_matches_serial_bfs(ray_session, seed_mod, max_hops):
+    from duke_ray.stages.graph import kg_reach
+
+    rows = _random_graph(seed=13, n_nodes=60, n_edges=150)
+    got = kg_reach(_edges_ds(rows), seed_mod=seed_mod, max_hops=max_hops).to_pandas()
+    want = _bfs_serial(rows, seed_mod, max_hops)
+    assert dict(zip(got["entity_id"], got["hops"])) == want
+
+
+def test_kg_reach_chain_hop_bound_and_early_exit(ray_session):
+    """A directed chain 0->1->...->9: max_hops truncates exactly, and a
+    disconnected seedless component is never reached."""
+    from duke_ray.stages.graph import kg_reach
+
+    chain = [(i, "p", i + 1, 1, 1) for i in range(9)]
+    island = [(101, "p", 102, 1, 1)]  # no node % 100 == 0
+    got = kg_reach(_edges_ds(chain + island), seed_mod=100, max_hops=3).to_pandas()
+    assert dict(zip(got["entity_id"], got["hops"])) == {0: 0, 1: 1, 2: 2, 3: 3}
