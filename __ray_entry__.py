@@ -313,6 +313,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["inverted_index"] = inverted_index
 
+    def lexical_topk(sf):
+        """Integer TF-IDF top-20 retrieval for a fixed term bag: one
+        corpus scan -> (term, doc, tf) partials; idf = n_docs // df in
+        int64 so the distributed score hash-matches SQL exactly."""
+        from duke_ray.sources import documents_row_count
+        from duke_ray.stages.retrieval import lexical_topk as topk
+
+        return topk(
+            read_table(sf, "documents", columns=["doc_id", "text"]),
+            query_terms=("dup", "scan", "batch"),
+            k=20,
+            n_docs=documents_row_count(sf),
+        )
+
+    q["lexical_topk"] = lexical_topk
+
     def domain_stats(sf):
         """Per-host page + token rollup over the pages table (host parsed
         from the url column; oracle reconstructs the synthetic host from
@@ -1114,6 +1130,23 @@ SELECT b.doc_id, b.n_tokens, b.n_distinct_tokens,
        (b.n_tokens - b.n_distinct_tokens) * 1000 // b.n_tokens AS dup_token_milli,
        COALESCE(m.max_bigram_n, 0) * 1000 // GREATEST(b.n_tokens - 1, 1) AS top_bigram_milli
 FROM base b LEFT JOIN bgm m USING (doc_id)
+"""
+
+    # integer TF-IDF: idf = n_docs // df (floor division), score =
+    # SUM(tf * idf) in int64; ties broken by ascending doc_id.
+    sql["lexical_topk"] = """
+WITH flat AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tfs AS (
+  SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM flat
+  WHERE term IN ('dup', 'scan', 'batch') GROUP BY 1, 2
+),
+dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tfs GROUP BY 1),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+sc AS (
+  SELECT t.doc_id, CAST(SUM(t.tf * (nn.n // d.df)) AS BIGINT) AS score
+  FROM tfs t JOIN dfs d USING (term) CROSS JOIN nn GROUP BY t.doc_id
+)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20
 """
 
     sql["inverted_index"] = """

@@ -158,3 +158,64 @@ def test_label_centroid_sums_half_up_and_validation(ray_session):
     )
     with pytest.raises(Exception):
         label_centroid_sums(bad).take_all()
+
+
+def _topk_serial(rows, terms, k):
+    """Serial integer TF-IDF reference (dict arithmetic, no Arrow)."""
+    n = len(rows)
+    tf = {}
+    for doc_id, text in rows:
+        for t in text.split(" "):
+            if t in terms:
+                tf[(t, doc_id)] = tf.get((t, doc_id), 0) + 1
+    df = {}
+    for (t, _d) in tf:
+        df[t] = df.get(t, 0) + 1
+    score = {}
+    for (t, d), f in tf.items():
+        score[d] = score.get(d, 0) + f * (n // df[t])
+    return sorted(score.items(), key=lambda x: (-x[1], x[0]))[:k]
+
+
+def test_lexical_topk_matches_serial(ray_session):
+    from duke_ray.stages.retrieval import lexical_topk
+
+    rng = np.random.default_rng(3)
+    vocab = ["aa", "bb", "cc", "dd", "rare"]
+    rows = [
+        (i, " ".join(rng.choice(vocab[:4], size=rng.integers(3, 12)).tolist()))
+        for i in range(200)
+    ]
+    rows[17] = (17, rows[17][1] + " rare rare")
+    rows[90] = (90, "rare")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+    ).repartition(7)
+    got = lexical_topk(ds, ["aa", "rare"], k=10).to_pandas()
+    want = _topk_serial(rows, {"aa", "rare"}, 10)
+    assert list(zip(got["doc_id"], got["score"])) == want
+
+
+def test_lexical_topk_fewer_matches_than_k_and_validation(ray_session):
+    from duke_ray.stages.retrieval import lexical_topk
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["q w", "w w", "z"], pa.string()),
+            }
+        )
+    )
+    got = lexical_topk(ds, ["q"], k=10).to_pandas()
+    # only doc 1 matches: score = 1 * (3 // 1) = 3
+    assert list(zip(got["doc_id"], got["score"])) == [(1, 3)]
+    with pytest.raises(ValueError):
+        lexical_topk(ds, [], k=5)
+    with pytest.raises(ValueError):
+        lexical_topk(ds, ["q"], k=0)
