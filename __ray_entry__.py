@@ -341,6 +341,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["domain_stats"] = domain_stats
 
+    def blocklist_filter(sf):
+        """Domain-blocklist anti-join over the pages table: blocklist
+        broadcast into the batch closure (small-side pattern, no
+        shuffle); survivors keyed back to doc_id for the oracle."""
+        from duke_ray.stages.web import filter_blocklist
+        from duke_ray.sources import read_pages
+        from duke_ray.synth import doc_id_from_url_arrow
+
+        kept = filter_blocklist(
+            read_pages(sf),
+            blocked_hosts=("site0.example", "site13.example", "site50.example"),
+        )
+
+        def key_rows(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": doc_id_from_url_arrow(b["url"]),
+                    "domain": b["domain"],
+                }
+            )
+
+        return kept.map_batches(key_rows, batch_format="pyarrow")
+
+    q["blocklist_filter"] = blocklist_filter
+
     def contamination(sf):
         """Decontamination: flag docs containing any probe n-gram (probes
         = first trigram of every 50th doc, broadcast via ray.put; corpus
@@ -1165,6 +1190,11 @@ SELECT 'site' || CAST(doc_id % 101 AS VARCHAR) || '.example' AS domain,
        CAST(COUNT(*) AS BIGINT) AS n_pages,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM documents GROUP BY domain
+"""
+
+    sql["blocklist_filter"] = """
+SELECT doc_id, 'site' || CAST(doc_id % 101 AS VARCHAR) || '.example' AS domain
+FROM documents WHERE doc_id % 101 NOT IN (0, 13, 50)
 """
 
     sql["contamination"] = """

@@ -28,6 +28,33 @@ def url_host(url_col: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.utf8_lower(host)
 
 
+def filter_blocklist(
+    pages: "ray.data.Dataset",
+    blocked_hosts,
+    url_col: str = "url",
+) -> "ray.data.Dataset":
+    """Anti-join against a domain blocklist: drop every page whose url host
+    is in ``blocked_hosts``. The blocklist is broadcast into the batch
+    closure (never shuffled — the CCNet/RefinedWeb-style small-side
+    pattern); rows whose url does not parse are dropped too (fail-closed:
+    a page that cannot be attributed to a host cannot be cleared).
+
+    Output: the input rows minus blocked/unparseable ones, with the parsed
+    ``domain`` column appended. Pure per-batch map — no shuffle at any
+    corpus size.
+    """
+    bl = pa.array(sorted(set(blocked_hosts)), pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        host = url_host(batch[url_col])
+        keep = pc.and_(pc.is_valid(host), pc.invert(pc.is_in(host, value_set=bl)))
+        return batch.append_column("domain", host).filter(
+            pc.fill_null(keep, False)
+        )
+
+    return pages.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
 def domain_stats(
     pages: "ray.data.Dataset",
     url_col: str = "url",

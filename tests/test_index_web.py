@@ -219,3 +219,28 @@ def test_lexical_topk_fewer_matches_than_k_and_validation(ray_session):
         lexical_topk(ds, [], k=5)
     with pytest.raises(ValueError):
         lexical_topk(ds, ["q"], k=0)
+
+
+def test_filter_blocklist_fail_closed(ray_session):
+    from duke_ray.stages.web import filter_blocklist
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(
+                    [
+                        "https://good.example/p/1",
+                        "https://BAD.example/p/2",   # host lowercased -> blocked
+                        "not a url",                  # unparseable -> dropped
+                        None,                         # null -> dropped
+                        "https://good.example:8080/p/5",  # port kept -> distinct host
+                    ],
+                    pa.string(),
+                ),
+                "n": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            }
+        )
+    )
+    got = filter_blocklist(ds, ["bad.example"]).to_pandas().sort_values("n")
+    assert got["n"].tolist() == [1, 5]
+    assert got["domain"].tolist() == ["good.example", "good.example:8080"]
