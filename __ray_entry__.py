@@ -550,6 +550,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_reach"] = kg_reach
 
+    def kg_triangles(sf):
+        """Per-entity triangle counts over the undirected simple entity
+        graph (node-iterator with id orientation; wedges close via a C++
+        hash join per partition)."""
+        from duke_ray.stages.graph import triangle_counts
+
+        return triangle_counts(_kg_edges_ds(sf))
+
+    q["kg_triangles"] = kg_triangles
+
     def entity_link(sf):
         """Linked mentions; the per-surface link decision is deterministic,
         so the oracle inlines the expected surface->entity map as VALUES
@@ -1357,6 +1367,24 @@ pr{_k} AS (
         + _pr_chain
         + '\nSELECT id AS entity_id, r AS "rank" FROM pr5\n'
     )
+
+    # per-entity triangle counts: each triangle a<b<c enumerated exactly
+    # once by the oriented three-way self-join, then unnested per vertex.
+    sql["kg_triangles"] = _triples_sql_core() + _eg_cte + """,
+ue AS (
+  SELECT LEAST(subj_id, obj_id) AS u, GREATEST(subj_id, obj_id) AS v
+  FROM eg WHERE subj_id <> obj_id GROUP BY 1, 2
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM ue e1 JOIN ue e2 ON e2.u = e1.v JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+  SELECT a AS entity_id FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) GROUP BY 1
+"""
 
     # BFS hop distances: recursive walk bounded at 4 hops; MIN(h) over all
     # enumerated (node, hops) rows is the BFS distance. UNION (not UNION

@@ -278,6 +278,165 @@ def kg_reach(
     )
 
 
+def triangle_counts(
+    edges: "ray.data.Dataset",
+    n_meta: int = 64,
+) -> "ray.data.Dataset":
+    """Per-entity triangle participation counts over the undirected simple
+    entity graph -> (entity_id, n_triangles).
+
+    Node-iterator algorithm, id-oriented: every undirected edge {u, v}
+    (self-loops dropped, parallel/reverse edges collapsed) is stored as
+    (u < v); wedges (a, b) are generated from each node's oriented
+    adjacency list and closed against the oriented edge set, so each
+    triangle a < b < c is found exactly once — the same enumeration the
+    SQL oracle's three-way self-join performs.
+
+    Topology: exchange 1 dedups oriented edges by (u, v); exchange 2
+    (key = u) builds wedges per partition with O(1) numpy passes (the
+    repeat/offset trick — no per-node Python); exchange 3 (key = first
+    wedge leg) closes wedges against edges with a C++ hash join inside
+    each partition; a final grouped_sum sums per-vertex counts. Wedge
+    volume is sum(out_deg^2) under id orientation — the documented scale
+    caveat; degree-based orientation (min-degree endpoint first) bounds
+    it by arboricity and drops in as a different orient() if a skewed
+    production graph needs it (the oracle would mirror the same rule).
+    """
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    proj = _project_edges(edges)
+
+    def orient(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        u = np.minimum(s, d)[keep]
+        v = np.maximum(s, d)[keep]
+        return pa.table(
+            {"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())}
+        )
+
+    def unique_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return g.select(["u", "v"])
+
+    und = partitioned_reduce(
+        proj.map_batches(orient, batch_format="pyarrow"),
+        ["u", "v"],
+        unique_pairs,
+        n_meta=n_meta,
+    ).materialize()
+
+    def wedges_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by([("u", "ascending"), ("v", "ascending")])
+        u = t["u"].to_numpy(zero_copy_only=False)
+        adj = t["v"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        # group boundaries of the sorted lower endpoints
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(new)
+        lens = np.append(starts[1:], n) - starts
+        # per-element pair fanout: element at in-group position p pairs with
+        # the (len - 1 - p) neighbors after it
+        pos = np.arange(n, dtype=np.int64) - np.repeat(starts, lens)
+        r = np.repeat(lens, lens) - 1 - pos
+        m = int(r.sum())
+        if m == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                }
+            )
+        left = np.repeat(adj, r)
+        t_rep = np.repeat(np.arange(n, dtype=np.int64), r)
+        off = np.cumsum(r) - r
+        right = adj[t_rep + 1 + np.arange(m, dtype=np.int64) - np.repeat(off, r)]
+        return pa.table(
+            {
+                "a": pa.array(left, pa.int64()),
+                "b": pa.array(right, pa.int64()),
+                "w": pa.array(np.repeat(u, r), pa.int64()),
+            }
+        )
+
+    wedges = partitioned_reduce(und, "u", wedges_partition, n_meta=n_meta)
+
+    # close wedges against edges: both keyed by the (lower, upper) pair
+    wedge_u = wedges.map_batches(
+        lambda b: pa.table(
+            {
+                "u": b["a"],
+                "v": b["b"],
+                "w": b["w"],
+                "kind": pa.array(np.ones(b.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    edge_u = und.map_batches(
+        lambda b: pa.table(
+            {
+                "u": b["u"],
+                "v": b["v"],
+                "w": pa.array(np.zeros(b.num_rows, np.int64)),
+                "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def close_partition(t: pa.Table) -> pa.Table:
+        e_t, w_t = _split_kinds(t)
+        tri = w_t.select(["u", "v", "w"]).join(
+            e_t.select(["u", "v"]), keys=["u", "v"], join_type="inner"
+        )
+        if tri.num_rows == 0:
+            return pa.table(
+                {
+                    "entity_id": pa.array([], pa.int64()),
+                    "n_triangles": pa.array([], pa.int64()),
+                }
+            )
+        ids = pa.concat_arrays(
+            [
+                tri["u"].combine_chunks().cast(pa.int64()),
+                tri["v"].combine_chunks().cast(pa.int64()),
+                tri["w"].combine_chunks().cast(pa.int64()),
+            ]
+        )
+        g = pa.table(
+            {
+                "entity_id": ids,
+                "one": pa.array(np.ones(len(ids), np.int64)),
+            }
+        ).group_by("entity_id").aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "entity_id": g["entity_id"],
+                "n_triangles": g["one_sum"].cast(pa.int64()),
+            }
+        )
+
+    per_partition = partitioned_reduce(
+        wedge_u.union(edge_u), ["u", "v"], close_partition, n_meta=n_meta
+    )
+    # a vertex's triangles can close in different (a, b) partitions
+    return grouped_sum(
+        per_partition, "entity_id", {"n_triangles": "n_triangles"}, n_meta=n_meta
+    )
+
+
 def pagerank(
     edges: "ray.data.Dataset",
     n_iter: int = 5,

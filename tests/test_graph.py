@@ -276,3 +276,37 @@ def test_kg_reach_chain_hop_bound_and_early_exit(ray_session):
     island = [(101, "p", 102, 1, 1)]  # no node % 100 == 0
     got = kg_reach(_edges_ds(chain + island), seed_mod=100, max_hops=3).to_pandas()
     assert dict(zip(got["entity_id"], got["hops"])) == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def _triangles_serial(rows):
+    und = set()
+    for s, _p, o, _w, _np in rows:
+        if s != o:
+            und.add((min(s, o), max(s, o)))
+    cnt = {}
+    und_l = sorted(und)
+    for a, b in und_l:
+        for c in [v for (u, v) in und_l if u == b]:
+            if (a, c) in und:
+                for v in (a, b, c):
+                    cnt[v] = cnt.get(v, 0) + 1
+    return cnt
+
+
+def test_triangle_counts_matches_serial(ray_session):
+    from duke_ray.stages.graph import triangle_counts
+
+    rows = _random_graph(seed=5, n_nodes=25, n_edges=120)
+    got = triangle_counts(_edges_ds(rows)).to_pandas()
+    assert dict(zip(got["entity_id"], got["n_triangles"])) == _triangles_serial(rows)
+
+
+def test_triangle_counts_explicit(ray_session):
+    """K4 on {0..3} (every vertex in 3 triangles) plus a pendant and a
+    self-loop + reverse duplicate that must all collapse away."""
+    from duke_ray.stages.graph import triangle_counts
+
+    k4 = [(i, "p", j, 1, 1) for i in range(4) for j in range(4) if i < j]
+    noise = [(3, "p", 3, 1, 1), (1, "p", 0, 1, 1), (0, "p", 9, 1, 1)]
+    got = triangle_counts(_edges_ds(k4 + noise)).to_pandas()
+    assert dict(zip(got["entity_id"], got["n_triangles"])) == {0: 3, 1: 3, 2: 3, 3: 3}
