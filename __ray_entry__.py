@@ -585,6 +585,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["exact_dedup"] = exact_dedup
 
+    def corpus_diff(sf):
+        """Incremental-crawl anti-join: the full corpus as the 'new crawl'
+        vs the doc_id % 4 != 0 subset as the 'previous snapshot' — only
+        the 1-in-4 genuinely new texts survive. Hash-only shuffle."""
+        from duke_ray.stages.dedup import anti_join_text
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+        base = docs.map_batches(
+            lambda b: b.filter(
+                pc.not_equal(pc.bit_wise_and(b["doc_id"], pa.scalar(3)), 0)
+            ),
+            batch_format="pyarrow",
+        )
+        return anti_join_text(docs, base)
+
+    q["corpus_diff"] = corpus_diff
+
     def clean_corpus(sf):
         """Composed cleaning chain (lang filter + quality filter +
         exact-dedup survivor) — the pretraining-data path end to end.
@@ -1424,6 +1441,15 @@ FROM toks t JOIN links l ON t.tok = l.surface
 """
 
     sql["exact_dedup"] = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+    # null-safe anti-join (IS NOT DISTINCT FROM = the engine's sentinel rule)
+    sql["corpus_diff"] = """
+SELECT n.doc_id FROM documents n
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents b
+  WHERE b.doc_id % 4 <> 0 AND b.text IS NOT DISTINCT FROM n.text
+)
+"""
 
     sql["hash_sample"] = """
 SELECT doc_id FROM documents

@@ -471,6 +471,66 @@ def exact_dedup(
     return partitioned_reduce(partials, "h", min_per_hash)
 
 
+def anti_join_text(
+    new: "ray.data.Dataset",
+    base: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Cross-snapshot anti-join by content: rows of ``new`` whose text does
+    not appear anywhere in ``base`` -> (doc_id,). The incremental-crawl
+    step (drop re-crawled pages already in the previous snapshot) that
+    complements exact_dedup's within-corpus semantics.
+
+    Only (hash, id, side) triples shuffle — never the text; null text is
+    null-safe (matches null, the SQL ``IS NOT DISTINCT FROM`` rule, via
+    the same sentinel exact_dedup uses). Duplicates WITHIN ``new`` are
+    preserved — this is an anti-join, not a dedup. Same 64-bit-hash
+    collision tolerance as exact_dedup (documented there).
+    """
+
+    def side_rows(kind: int, combine: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            h = fnv1a64_arrow(batch[text_col]).astype(np.int64)
+            col = batch[text_col]
+            nulls = pa.compute.is_null(col).to_numpy(zero_copy_only=False)
+            if nulls.any():
+                h = h.copy()
+                h[nulls] = np.int64(-0x5CA1AB1E)
+            t = pa.table(
+                {
+                    "h": pa.array(h, pa.int64()),
+                    "doc_id": batch[id_col].cast(pa.int64()),
+                    "kind": pa.array(np.full(batch.num_rows, kind, np.int8)),
+                }
+            )
+            if combine:  # base side: membership only -> unique h per batch
+                g = t.group_by("h").aggregate([("doc_id", "min"), ("kind", "min")])
+                t = pa.table(
+                    {"h": g["h"], "doc_id": g["doc_id_min"], "kind": g["kind_min"]}
+                )
+            return t
+
+        return f
+
+    new_u = new.map_batches(side_rows(1, False), batch_format="pyarrow", batch_size=16384)
+    base_u = base.map_batches(side_rows(0, True), batch_format="pyarrow", batch_size=16384)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        k = t["kind"].to_numpy(zero_copy_only=False)
+        h = t["h"].to_numpy(zero_copy_only=False)
+        blocked = np.unique(h[k == 0])
+        new_mask = k == 1
+        keep = new_mask & ~np.isin(h, blocked)
+        return pa.table(
+            {"doc_id": t["doc_id"].to_numpy(zero_copy_only=False)[keep]}
+        ).cast(pa.schema([("doc_id", pa.int64())]))
+
+    from ..state.exchange import partitioned_reduce
+
+    return partitioned_reduce(new_u.union(base_u), "h", survivors)
+
+
 # --- SimHash ---------------------------------------------------------------
 
 def simhash_signatures(text_col, seed: int = 11) -> np.ndarray:

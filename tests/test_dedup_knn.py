@@ -317,3 +317,31 @@ def test_verify_exchange_opts_into_memory_reservation(corpus):
     assert pairs._plan._context.op_resource_reservation_enabled is True
     # the global default is untouched: lean pipelines keep the r3 policy
     assert DataContext.get_current().op_resource_reservation_enabled is False
+
+
+def test_anti_join_text_semantics(ray_session):
+    """Null-safe matching, within-new duplicates preserved, empty base."""
+    import ray.data
+
+    from duke_ray.stages.dedup import anti_join_text
+
+    def ds(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                }
+            )
+        ).repartition(3)
+
+    new = ds([(1, "aa"), (2, "bb"), (3, "bb"), (4, None), (5, "cc")])
+    base = ds([(100, "bb"), (101, None)])
+    got = sorted(anti_join_text(new, base).to_pandas()["doc_id"].tolist())
+    # 'bb' rows (both) drop, null matches null and drops, 'aa'/'cc' survive
+    assert got == [1, 5]
+
+    got_all = sorted(anti_join_text(new, ds([(9, "zz")]).filter(
+        lambda r: r["doc_id"] < 0
+    )).to_pandas()["doc_id"].tolist())
+    assert got_all == [1, 2, 3, 4, 5]
