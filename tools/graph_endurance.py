@@ -171,11 +171,140 @@ def run_components() -> None:
     ray.shutdown()
 
 
+def run_reach() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=CPUS, include_dashboard=False, logging_level="ERROR")
+    from duke_ray.context import tune_context
+    from duke_ray.stages.graph import kg_reach
+
+    tune_context()
+    edges = _build_edges(CPUS)
+
+    seed_mod, max_hops = 101, 4
+    t0 = time.time()
+    reach = kg_reach(
+        edges, seed_mod=seed_mod, max_hops=max_hops, n_meta=max(64, 4 * CPUS)
+    ).materialize()
+    reach_sec = time.time() - t0
+    def reach_stats(b: pa.Table) -> pa.Table:
+        ids = b["entity_id"].to_numpy(zero_copy_only=False)
+        hops = b["hops"].to_numpy(zero_copy_only=False)
+        bad = int(np.sum((hops < 0) | (hops > max_hops)))
+        bad += int(np.sum(ids[hops == 0] % seed_mod != 0))
+        ck = (
+            int(
+                np.bitwise_xor.reduce(
+                    _mix(
+                        hops.astype(np.uint64) + (ids.astype(np.uint64) << np.uint64(8)),
+                        9,
+                    )
+                ).astype(np.int64)
+            )
+            if b.num_rows
+            else 0
+        )
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "seeds": pa.array([int(np.sum(hops == 0))], pa.int64()),
+                "bad": pa.array([bad], pa.int64()),
+                "ck": pa.array([ck], pa.int64()),
+            }
+        )
+
+    stats = reach.map_batches(reach_stats, batch_format="pyarrow").to_pandas()
+    # every node id in [0, NODES) appears in the edge set (chain edges), so
+    # the seed count is exact: ceil(NODES / seed_mod)
+    n_seeds = int(stats["seeds"].sum())
+    assert n_seeds == -(-NODES // seed_mod), (n_seeds, NODES, seed_mod)
+    assert int(stats["bad"].sum()) == 0
+    assert int(stats["n"].sum()) >= n_seeds
+    checksum = int(
+        np.bitwise_xor.reduce(stats["ck"].to_numpy().astype(np.uint64)).astype(np.int64)
+    )
+    print(
+        json.dumps(
+            {
+                "reach_sec": round(reach_sec, 2),
+                "n_reached": int(stats["n"].sum()),
+                "reach_checksum": checksum,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def run_triangles() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=CPUS, include_dashboard=False, logging_level="ERROR")
+    from duke_ray.context import tune_context
+    from duke_ray.stages.graph import triangle_counts
+
+    tune_context()
+    edges = _build_edges(CPUS)
+
+    t0 = time.time()
+    tri = triangle_counts(edges, n_meta=max(64, 4 * CPUS)).materialize()
+    tri_sec = time.time() - t0
+    stats = tri.map_batches(
+        lambda b: pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "total": pa.array(
+                    [int(b["n_triangles"].to_numpy(zero_copy_only=False).sum())],
+                    pa.int64(),
+                ),
+                "ck": pa.array(
+                    [
+                        int(
+                            np.bitwise_xor.reduce(
+                                _mix(
+                                    b["n_triangles"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                                    + (
+                                        b["entity_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                                        << np.uint64(20)
+                                    ),
+                                    11,
+                                )
+                            ).astype(np.int64)
+                        )
+                        if b.num_rows
+                        else 0
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    total = int(stats["total"].sum())
+    # each triangle contributes exactly one count to each of its 3 vertices
+    assert total % 3 == 0, total
+    checksum = int(
+        np.bitwise_xor.reduce(stats["ck"].to_numpy().astype(np.uint64)).astype(np.int64)
+    )
+    print(
+        json.dumps(
+            {
+                "triangles_sec": round(tri_sec, 2),
+                "n_triangles": total // 3,
+                "triangle_checksum": checksum,
+            }
+        )
+    )
+    ray.shutdown()
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, PYTHONPATH=repo)
     out = {}
-    for op in ("pagerank", "components"):
+    ops = ("pagerank", "components", "reach", "triangles")
+    if os.environ.get("GRAPH_OPS"):
+        ops = tuple(os.environ["GRAPH_OPS"].split(","))
+    for op in ops:
         # fresh process per op: session aging across chained executions
         # would otherwise inflate the second op's time (measured 2-3x)
         r = subprocess.run(
@@ -186,28 +315,30 @@ def main() -> None:
             check=True,
         )
         out.update(json.loads(r.stdout.strip().splitlines()[-1]))
-    print(
-        json.dumps(
-            {
-                "nodes": NODES,
-                "edges": EDGES,
-                "num_cpus": CPUS,
-                "pr_iters": PR_ITERS,
-                "pagerank_sec": out["pagerank_sec"],
-                "components_sec": out["components_sec"],
-                "edges_per_sec_pagerank": int(EDGES * PR_ITERS / out["pagerank_sec"]),
-                "n_components": COMMUNITIES,  # verified exactly by the `bad` invariant
-                "rank_checksum": out["rank_checksum"],
-            }
-        )
-    )
+    result = {
+        "nodes": NODES,
+        "edges": EDGES,
+        "num_cpus": CPUS,
+        "pr_iters": PR_ITERS,
+        # n_components is verified exactly by the components leg's `bad`
+        # invariant when that leg runs
+        "n_components": COMMUNITIES,
+    }
+    result.update(out)
+    if "pagerank_sec" in out:
+        result["edges_per_sec_pagerank"] = int(EDGES * PR_ITERS / out["pagerank_sec"])
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    if len(sys.argv) > 1 and sys.argv[1] == "pagerank":
-        run_pagerank()
-    elif len(sys.argv) > 1 and sys.argv[1] == "components":
-        run_components()
+    _runners = {
+        "pagerank": run_pagerank,
+        "components": run_components,
+        "reach": run_reach,
+        "triangles": run_triangles,
+    }
+    if len(sys.argv) > 1 and sys.argv[1] in _runners:
+        _runners[sys.argv[1]]()
     else:
         main()
