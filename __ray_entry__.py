@@ -560,6 +560,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["kg_triangles"] = kg_triangles
 
+    def kg_kcore(sf):
+        """3-round k=2 core peel (defined as the bounded iteration, so
+        the unrolled SQL oracle hash-matches converged or not)."""
+        from duke_ray.stages.graph import kcore
+
+        return kcore(_kg_edges_ds(sf), k=2, rounds=3)
+
+    q["kg_kcore"] = kg_kcore
+
     def entity_link(sf):
         """Linked mentions; the per-surface link decision is deterministic,
         so the oracle inlines the expected surface->entity map as VALUES
@@ -1402,6 +1411,30 @@ SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
   UNION ALL SELECT c FROM tri
 ) GROUP BY 1
 """
+
+    # bounded k-core peel, 3 rounds unrolled (same iteration the engine
+    # runs; simultaneous-peel semantics — survivors come from the
+    # pre-round degree snapshot)
+    _kc_chain = """,
+up AS (
+  SELECT LEAST(subj_id, obj_id) AS u, GREATEST(subj_id, obj_id) AS v
+  FROM eg WHERE subj_id <> obj_id GROUP BY 1, 2
+),
+nb0 AS (SELECT u AS a, v AS b FROM up UNION ALL SELECT v, u FROM up)"""
+    for _r in range(3):
+        _kc_chain += f""",
+d{_r} AS (SELECT a, COUNT(*) AS d FROM nb{_r} GROUP BY a),
+s{_r} AS (SELECT a FROM d{_r} WHERE d >= 2),
+nb{_r + 1} AS (
+  SELECT n.a, n.b FROM nb{_r} n
+  JOIN s{_r} x ON x.a = n.a JOIN s{_r} y ON y.a = n.b
+)"""
+    sql["kg_kcore"] = (
+        _triples_sql_core()
+        + _eg_cte
+        + _kc_chain
+        + "\nSELECT a AS entity_id, CAST(COUNT(*) AS BIGINT) AS deg FROM nb3 GROUP BY a\n"
+    )
 
     # BFS hop distances: recursive walk bounded at 4 hops; MIN(h) over all
     # enumerated (node, hops) rows is the BFS distance. UNION (not UNION

@@ -437,6 +437,145 @@ def triangle_counts(
     )
 
 
+def kcore(
+    edges: "ray.data.Dataset",
+    k: int = 2,
+    rounds: int = 3,
+    n_meta: int = 64,
+) -> "ray.data.Dataset":
+    """Bounded k-core peeling over the undirected simple entity graph ->
+    (entity_id, deg): the nodes surviving ``rounds`` simultaneous peel
+    iterations (drop every node whose degree < k, induce, repeat), with
+    their degree in the final induced subgraph.
+
+    The op is DEFINED as the R-round peel — both the engine and the
+    unrolled SQL oracle compute the same bounded iteration, so results
+    hash-match whether or not the peel has converged (on small graphs R=3
+    converges; convergence = a round that removes nothing, at which point
+    the output IS the exact k-core). Degrees count distinct neighbors
+    (parallel edges, directions and self-loops collapsed first).
+
+    Topology per round: one node-keyed degree exchange (metadata-sized
+    output) + two edge-scale survivor semi-join exchanges (one per
+    endpoint — the survivor set must come from the PRE-round degree
+    snapshot, so the two filters cannot be fused into the degree pass).
+    The neighbor table is re-materialized per round to keep lineage and
+    block counts fixed (the r2 iterative-loop lesson).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    proj = _project_edges(edges)
+
+    def orient(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False)
+        d = b["dst"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s, d)[keep], pa.int64()),
+                "v": pa.array(np.maximum(s, d)[keep], pa.int64()),
+            }
+        )
+
+    def unique_pairs(t: pa.Table) -> pa.Table:
+        g = t.group_by(["u", "v"]).aggregate([([], "count_all")])
+        return g.select(["u", "v"])
+
+    und = partitioned_reduce(
+        proj.map_batches(orient, batch_format="pyarrow"),
+        ["u", "v"],
+        unique_pairs,
+        n_meta=n_meta,
+    )
+
+    # symmetric neighbor view: each undirected edge as (a, b) and (b, a)
+    nbrs = und.map_batches(
+        lambda b: pa.table(
+            {
+                "a": pa.concat_arrays(
+                    [b["u"].combine_chunks(), b["v"].combine_chunks()]
+                ),
+                "b": pa.concat_arrays(
+                    [b["v"].combine_chunks(), b["u"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def degrees(ds):
+        return grouped_sum(
+            ds.map_batches(
+                lambda b: pa.table(
+                    {
+                        "a": b["a"],
+                        "one": pa.array(np.ones(b.num_rows, np.int64)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            "a",
+            {"one": "d"},
+            n_meta=n_meta,
+        )
+
+    def survivor_filter(ds, survivors, key):
+        """Keep ds rows whose ``key`` endpoint is in the survivor node set."""
+        s_u = survivors.map_batches(
+            lambda b: pa.table(
+                {
+                    "a": b["a"],
+                    "b": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "kind": pa.array(np.zeros(b.num_rows, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        e_u = ds.map_batches(
+            lambda b, key=key: pa.table(
+                {
+                    "a": b[key],
+                    "b": b["b" if key == "a" else "a"],
+                    "kind": pa.array(np.ones(b.num_rows, np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+        def keep_partition(t: pa.Table, key=key) -> pa.Table:
+            s_t, e_t = _split_kinds(t)
+            ok = np.unique(s_t["a"].to_numpy(zero_copy_only=False))
+            ea = e_t["a"].to_numpy(zero_copy_only=False)
+            m = np.isin(ea, ok)
+            eb = e_t["b"].to_numpy(zero_copy_only=False)[m]
+            return pa.table(
+                {
+                    "a": pa.array(ea[m] if key == "a" else eb, pa.int64()),
+                    "b": pa.array(eb if key == "a" else ea[m], pa.int64()),
+                }
+            )
+
+        return partitioned_reduce(s_u.union(e_u), "a", keep_partition, n_meta=n_meta)
+
+    for _ in range(rounds):
+        deg = degrees(nbrs)
+        survivors = deg.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["d"], pa.scalar(k, pa.int64()))
+            ).select(["a"]),
+            batch_format="pyarrow",
+        ).materialize()
+        nbrs = survivor_filter(nbrs, survivors, "a")
+        nbrs = survivor_filter(nbrs, survivors, "b").materialize()
+
+    return degrees(nbrs).map_batches(
+        lambda b: pa.table({"entity_id": b["a"], "deg": b["d"]}),
+        batch_format="pyarrow",
+    )
+
+
 def pagerank(
     edges: "ray.data.Dataset",
     n_iter: int = 5,

@@ -310,3 +310,45 @@ def test_triangle_counts_explicit(ray_session):
     noise = [(3, "p", 3, 1, 1), (1, "p", 0, 1, 1), (0, "p", 9, 1, 1)]
     got = triangle_counts(_edges_ds(k4 + noise)).to_pandas()
     assert dict(zip(got["entity_id"], got["n_triangles"])) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def _kcore_serial(rows, k, rounds):
+    und = set()
+    for s, _p, o, _w, _np in rows:
+        if s != o:
+            und.add((min(s, o), max(s, o)))
+    nbrs = {}
+    for u, v in und:
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    for _ in range(rounds):
+        alive = {n for n, ns in nbrs.items() if len(ns) >= k}
+        nbrs = {
+            n: {m for m in ns if m in alive}
+            for n, ns in nbrs.items()
+            if n in alive
+        }
+        nbrs = {n: ns for n, ns in nbrs.items() if ns}
+    return {n: len(ns) for n, ns in nbrs.items()}
+
+
+@pytest.mark.parametrize("k,rounds", [(2, 3), (3, 2), (5, 3)])
+def test_kcore_matches_serial(ray_session, k, rounds):
+    from duke_ray.stages.graph import kcore
+
+    rows = _random_graph(seed=11, n_nodes=30, n_edges=120)
+    got = kcore(_edges_ds(rows), k=k, rounds=rounds).to_pandas()
+    assert dict(zip(got["entity_id"], got["deg"])) == _kcore_serial(rows, k, rounds)
+
+
+def test_kcore_peels_tail_into_triangle(ray_session):
+    """Triangle {0,1,2} with a pendant chain 2-3-4: at k=2 the chain peels
+    over two rounds (simultaneous semantics: node 3 survives round 1)."""
+    from duke_ray.stages.graph import kcore
+
+    rows = [(0, "p", 1, 1, 1), (1, "p", 2, 1, 1), (2, "p", 0, 1, 1),
+            (2, "p", 3, 1, 1), (3, "p", 4, 1, 1)]
+    one = kcore(_edges_ds(rows), k=2, rounds=1).to_pandas()
+    assert dict(zip(one["entity_id"], one["deg"])) == {0: 2, 1: 2, 2: 3, 3: 1}
+    done = kcore(_edges_ds(rows), k=2, rounds=2).to_pandas()
+    assert dict(zip(done["entity_id"], done["deg"])) == {0: 2, 1: 2, 2: 2}
