@@ -158,6 +158,11 @@ def kg_reach(
     from ..state.exchange import partitioned_reduce
 
     proj = _project_edges(edges).materialize()
+    heavy = proj.count() > 1_000_000  # heavy-plan reservation opt-in (see pagerank)
+    if heavy:
+        from ..context import reserve_memory_for
+
+        proj = reserve_memory_for(proj)
 
     def seed_rows(b: pa.Table) -> pa.Table:
         ids = np.unique(
@@ -191,6 +196,11 @@ def kg_reach(
         dedup_ids,
         n_meta=n_meta,
     ).materialize()
+    if heavy:
+        # dist/frontier are node-sized, but each hop unions them with the
+        # edge-sized proj — re-flag after every materialize so the expand
+        # exchange's whole lineage stays under the reservation policy
+        dist = reserve_memory_for(dist)
     frontier = dist
 
     def _tag(col_extra: dict, kind: int):
@@ -265,6 +275,8 @@ def kg_reach(
         dist = partitioned_reduce(
             d_u.union(c_u), "id", settle_partition, n_meta=n_meta
         ).materialize()
+        if heavy:
+            dist = reserve_memory_for(dist)
         frontier = dist.map_batches(
             lambda b, hop=hop: b.filter(
                 pc.equal(b["d"], pa.scalar(hop, pa.int64()))
@@ -304,7 +316,12 @@ def triangle_counts(
     """
     from ..state.exchange import grouped_sum, partitioned_reduce
 
-    proj = _project_edges(edges)
+    proj = _project_edges(edges).materialize()
+    heavy = proj.count() > 1_000_000  # heavy-plan reservation opt-in (see pagerank)
+    if heavy:
+        from ..context import reserve_memory_for
+
+        proj = reserve_memory_for(proj)
 
     def orient(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False)
@@ -326,6 +343,10 @@ def triangle_counts(
         unique_pairs,
         n_meta=n_meta,
     ).materialize()
+    if heavy:
+        # a materialize starts a fresh lineage root — re-flag so the wedge
+        # generation + close exchanges (the heavy part) stay reserved
+        und = reserve_memory_for(und)
 
     def wedges_partition(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -466,7 +487,12 @@ def kcore(
         raise ValueError(f"k must be >= 1, got {k}")
     from ..state.exchange import grouped_sum, partitioned_reduce
 
-    proj = _project_edges(edges)
+    proj = _project_edges(edges).materialize()
+    heavy = proj.count() > 1_000_000  # heavy-plan reservation opt-in (see pagerank)
+    if heavy:
+        from ..context import reserve_memory_for
+
+        proj = reserve_memory_for(proj)
 
     def orient(b: pa.Table) -> pa.Table:
         s = b["src"].to_numpy(zero_copy_only=False)
@@ -504,6 +530,8 @@ def kcore(
         ),
         batch_format="pyarrow",
     ).materialize()
+    if heavy:
+        nbrs = reserve_memory_for(nbrs)
 
     def degrees(ds):
         return grouped_sum(
@@ -569,6 +597,8 @@ def kcore(
         ).materialize()
         nbrs = survivor_filter(nbrs, survivors, "a")
         nbrs = survivor_filter(nbrs, survivors, "b").materialize()
+        if heavy:
+            nbrs = reserve_memory_for(nbrs)
 
     return degrees(nbrs).map_batches(
         lambda b: pa.table({"entity_id": b["a"], "deg": b["d"]}),
