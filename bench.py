@@ -287,6 +287,52 @@ def run_endurance() -> dict:
     assert int(chk["bad"].sum()) == 0, "postings/df/tf invariant violated"
     assert int(chk["df_sum"].sum()) > 0
 
+    # cross-snapshot anti-join: varied texts are pairwise distinct, so with
+    # base = rows having doc_id % 4 != 0 the survivor count is EXACTLY the
+    # doc_id % 4 == 0 row count — a closed-form invariant at any scale.
+    from duke_ray.stages.dedup import anti_join_text
+
+    t0 = time.time()
+    new_ds = read_documents_varied(SF_DIR, REPLICAS)
+    base_ds = read_documents_varied(SF_DIR, REPLICAS).map_batches(
+        lambda b: b.filter(
+            pa.compute.not_equal(
+                pa.compute.bit_wise_and(b["doc_id"], pa.scalar(3)), 0
+            )
+        ),
+        batch_format="pyarrow",
+    )
+    n_new = anti_join_text(new_ds, base_ds).count()
+    timings["corpus_diff"] = round(time.time() - t0, 3)
+    # varied ids are doc_id + r * n_docs, texts pairwise distinct -> the
+    # survivor count is exactly the (id % 4 == 0) row count, closed form
+    base_ids = np.arange(n_docs, dtype=np.int64)
+    expected = int(
+        sum(int(((base_ids + r * n_docs) % 4 == 0).sum()) for r in range(REPLICAS))
+    )
+    stats["corpus_diff"] = {"survivors": n_new, "expected": expected}
+    assert n_new == expected, (n_new, expected)
+
+    # integer TF-IDF retrieval: one corpus scan + metadata exchanges;
+    # invariants: exactly k rows, scores positive and non-increasing.
+    from duke_ray.stages.retrieval import lexical_topk
+
+    t0 = time.time()
+    top = lexical_topk(
+        read_documents_varied(SF_DIR, REPLICAS),
+        query_terms=("dup", "scan", "batch"),
+        k=20,
+        n_docs=n_rows,
+    ).to_pandas()
+    timings["lexical_topk"] = round(time.time() - t0, 3)
+    stats["lexical_topk"] = {
+        "k": len(top),
+        "top_score": int(top["score"].iloc[0]) if len(top) else 0,
+    }
+    assert len(top) == 20, len(top)
+    assert (top["score"] > 0).all()
+    assert (top["score"].diff().dropna() <= 0).all(), "scores not sorted"
+
     total = sum(timings.values())
     result = {
         "metric": "dedup_endurance_sec",
