@@ -870,6 +870,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["label_centroids"] = label_centroids
 
+    def kmeans_clusters(sf):
+        """Full integer Lloyd k-means (k=4, 3 iterations) over the
+        embeddings table — distributed assignments are bit-identical to
+        the unrolled DuckDB oracle (integer micro-unit quantization,
+        exact int64 squared distances, trunc-div centroid updates)."""
+        from duke_ray.stages.embedagg import kmeans_lloyd
+
+        return kmeans_lloyd(
+            read_table(sf, "embeddings", columns=["vec_id", "embedding"]),
+            k=4,
+            iters=3,
+        )
+
+    q["kmeans_clusters"] = kmeans_clusters
+
     def lsh_cosine_pairs(sf):
         """Embedding near-dup pairs over the corpus plus deterministic noisy
         copies (vec_id + 10M, vector + 0.1*Philox(vec_id) noise) — the driver
@@ -1733,6 +1748,59 @@ SELECT CAST(label AS BIGINT) AS label, CAST(dim - 1 AS BIGINT) AS dim,
        CAST(COUNT(*) AS BIGINT) AS n_vecs
 FROM flat GROUP BY label, dim
 """
+
+    # kmeans_clusters: unrolled integer Lloyd (k=4, 3 iterations) — the
+    # engine's spec exactly: micro-unit quantization, exact int64 squared
+    # L2, argmin ties to the smallest cluster id, centroid = sum // n
+    # (DuckDB // truncates toward zero, matching _trunc_div), empty
+    # clusters keep the previous centroid, seeds = k smallest vec_ids.
+    _km_k, _km_iters = 4, 3
+    _km = """
+WITH q AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS v
+  FROM embeddings
+),
+seeds AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c
+  FROM (SELECT DISTINCT vec_id FROM q ORDER BY vec_id LIMIT {k})
+),
+c0 AS (SELECT s.c, q.dim, q.v FROM seeds s JOIN q USING (vec_id))"""
+    for _i in range(1, _km_iters + 1):
+        _km += f""",
+a{_i} AS (
+  SELECT vec_id, c FROM (
+    SELECT q.vec_id, c.c,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT), c.c
+           ) AS rn
+    FROM q JOIN c{_i - 1} c USING (dim)
+    GROUP BY q.vec_id, c.c
+  ) WHERE rn = 1
+),
+s{_i} AS (
+  SELECT a.c, q.dim,
+         CAST(SUM(q.v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS v
+  FROM a{_i} a JOIN q USING (vec_id) GROUP BY a.c, q.dim
+),
+c{_i} AS (
+  SELECT p.c, p.dim, COALESCE(s.v, p.v) AS v
+  FROM c{_i - 1} p LEFT JOIN s{_i} s ON s.c = p.c AND s.dim = p.dim
+)"""
+    _km += f"""
+SELECT vec_id, CAST(c AS BIGINT) AS cluster FROM (
+  SELECT q.vec_id, c.c,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY CAST(SUM((q.v - c.v) * (q.v - c.v)) AS BIGINT), c.c
+         ) AS rn
+  FROM q JOIN c{_km_iters} c USING (dim)
+  GROUP BY q.vec_id, c.c
+) WHERE rn = 1
+"""
+    sql["kmeans_clusters"] = _km.replace("{k}", str(_km_k))
 
     from duke_ray.pipelines import relational as rel
 

@@ -244,3 +244,76 @@ def test_filter_blocklist_fail_closed(ray_session):
     got = filter_blocklist(ds, ["bad.example"]).to_pandas().sort_values("n")
     assert got["n"].tolist() == [1, 5]
     assert got["domain"].tolist() == ["good.example", "good.example:8080"]
+
+
+def _serial_kmeans(ids, X_f32, k, iters, micro=1_000_000):
+    """Scalar spec of stages/embedagg.py:kmeans_lloyd (the documented
+    integer Lloyd semantics), independent implementation for the test."""
+    import numpy as np
+
+    order = np.argsort(ids, kind="stable")
+    V = np.floor(X_f32.astype(np.float64) * micro + 0.5).astype(np.int64)
+    C = V[order[:k]].copy()
+
+    def assign(C):
+        out = np.empty(len(V), np.int64)
+        for i in range(len(V)):
+            d = ((V[i] - C) ** 2).sum(axis=1)
+            out[i] = int(np.flatnonzero(d == d.min())[0])
+        return out
+
+    for _ in range(iters):
+        a = assign(C)
+        for c in range(k):
+            m = a == c
+            if m.any():
+                s = V[m].sum(axis=0)
+                n = int(m.sum())
+                C[c] = np.sign(s) * (np.abs(s) // n)
+    return assign(C)
+
+
+def test_kmeans_lloyd_bit_identical_across_blocks(ray_session):
+    from duke_ray.stages.embedagg import kmeans_lloyd
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 300, 8, 5
+    # three planted blobs + noise so iterations actually move centroids
+    centers = rng.normal(size=(3, dim)) * 0.4
+    X = (centers[rng.integers(0, 3, n)] + rng.normal(size=(n, dim)) * 0.05).astype(
+        np.float32
+    )
+    ids = rng.permutation(n).astype(np.int64)
+    want = _serial_kmeans(ids, X, k, iters=3)
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in X], pa.list_(pa.float32())),
+        }
+    )
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(blocks)
+        got = kmeans_lloyd(ds, k=k, iters=3).to_pandas().sort_values("vec_id")
+        by_id = dict(zip(got["vec_id"], got["cluster"]))
+        assert [by_id[i] for i in ids] == want.tolist()
+    # every cluster id in range, all ids present
+    assert set(got["cluster"]).issubset(set(range(k)))
+    assert len(got) == n
+
+
+def test_kmeans_lloyd_validation(ray_session):
+    from duke_ray.stages.embedagg import kmeans_lloyd
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2], pa.int64()),
+                "embedding": pa.array([[0.1, 0.2], [0.3, 0.4]], pa.list_(pa.float32())),
+            }
+        )
+    )
+    with pytest.raises(ValueError):
+        kmeans_lloyd(ds, k=0)
+    with pytest.raises(ValueError):
+        kmeans_lloyd(ds, k=3).take_all()  # k > corpus
