@@ -249,6 +249,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["token_quantiles"] = token_quantiles
 
+    def lang_token_quantiles(sf):
+        """Per-language PERCENTILE_DISC of per-doc token counts — the
+        grouped exact-quantile op with DISTRIBUTED selection (two
+        metadata-sized exchanges, no driver loop)."""
+        from duke_ray.stages.textstats import grouped_int_quantiles
+
+        docs = read_table(sf, "documents", columns=["lang", "text"])
+
+        def counts(b: pa.Table) -> pa.Table:
+            n = pc.add(
+                pc.count_substring(b["text"], " "), pa.scalar(1, pa.int32())
+            ).cast(pa.int64())
+            return pa.table({"lang": b["lang"], "n_tokens": n})
+
+        return grouped_int_quantiles(
+            docs.map_batches(counts, batch_format="pyarrow"),
+            "lang",
+            "n_tokens",
+            (250, 500, 900),
+        )
+
+    q["lang_token_quantiles"] = lang_token_quantiles
+
     def bigram_frequencies(sf):
         from duke_ray.stages.textstats import bigram_frequencies as bf
 
@@ -1283,6 +1306,17 @@ SELECT c.token, c.n FROM cnt c, tot WHERE c.n >= (tot.n * 2 + 999) // 1000
             + _pd.format(f=p / 1000.0)
             + " FROM ts"
             for p in (250, 500, 750, 900, 990)
+        )
+    )
+
+    sql["lang_token_quantiles"] = (
+        "WITH ts AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT)"
+        " AS n_tokens FROM documents)\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT lang, CAST({p} AS BIGINT) AS p_milli, "
+            f"CAST(PERCENTILE_DISC({p / 1000.0}) WITHIN GROUP (ORDER BY n_tokens)"
+            f" AS BIGINT) AS value FROM ts GROUP BY lang"
+            for p in (250, 500, 900)
         )
     )
 

@@ -601,3 +601,85 @@ def repetition_stats(
         batch_format="pyarrow",
         batch_size=8192,
     )
+
+
+def grouped_int_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    ps_milli: tuple[int, ...] = (250, 500, 900),
+    n_meta: int = 64,
+) -> "ray.data.Dataset":
+    """EXACT per-group PERCENTILE_DISC over an integer column ->
+    (group, p_milli, value) Dataset — the grouped form of
+    :func:`int_quantiles`, with the selection step DISTRIBUTED instead of
+    driver-side.
+
+    Topology: per-batch (group, value) count partials (C++ group_by), one
+    ``grouped_sum`` exchange keyed (group, value) — shuffle = distinct
+    pairs, metadata-sized for bounded-range stats like token counts —
+    then one group-keyed ``partitioned_reduce`` whose partitions select
+    all requested percentiles VECTORIZED (sorted within-group cumulative
+    counts; a row is selected for p when it is the first row whose
+    cumulative count reaches ceil(p * n_group / 1000), i.e.
+    PERCENTILE_DISC / DuckDB semantics). No per-group Python loop: the
+    selection mask is computed over the whole partition at once, so a
+    partition with 1e6 groups costs one numpy pass per percentile."""
+    for p in ps_milli:
+        if not (0 < p <= 1000):
+            raise ValueError("p_milli must be in (0, 1000]")
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"g": b[group_col], "v": b[value_col].cast(pa.int64())})
+        g = t.group_by(["g", "v"]).aggregate([("v", "count")])
+        return g.rename_columns(["g", "v", "n"])
+
+    hist = grouped_sum(
+        ds.map_batches(hist_partial, batch_format="pyarrow", batch_size=8192),
+        ["g", "v"],
+        {"n": "n"},
+        n_meta=n_meta,
+    )
+
+    def select_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], t["g"].type),
+                    "p_milli": pa.array([], pa.int64()),
+                    "value": pa.array([], pa.int64()),
+                }
+            )
+        t = t.take(pc.sort_indices(t, sort_keys=[("g", "ascending"), ("v", "ascending")]))
+        codes = pc.dictionary_encode(t["g"].combine_chunks()).indices.to_numpy(
+            zero_copy_only=False
+        )
+        v = t["v"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        new_g = np.empty(len(codes), bool)
+        new_g[0] = True
+        new_g[1:] = codes[1:] != codes[:-1]
+        sizes = np.diff(np.append(np.flatnonzero(new_g), len(codes)))
+        cum = np.cumsum(n)
+        base = np.repeat(cum[new_g] - n[new_g], sizes)  # cumulative before group
+        cw = cum - base  # within-group cumulative count
+        n_group = np.repeat(cw[np.append(np.flatnonzero(new_g)[1:] - 1, len(cw) - 1)], sizes)
+        out_g, out_p, out_v = [], [], []
+        garr = t["g"].combine_chunks()
+        for p in ps_milli:
+            target = (p * n_group + 999) // 1000  # ceil, 1-based
+            sel = (cw >= target) & ((cw - n) < target)
+            idx = np.flatnonzero(sel)
+            out_g.append(garr.take(pa.array(idx, pa.int64())))
+            out_p.append(np.full(len(idx), p, np.int64))
+            out_v.append(v[idx])
+        return pa.table(
+            {
+                group_col: pa.concat_arrays(out_g),
+                "p_milli": pa.array(np.concatenate(out_p), pa.int64()),
+                "value": pa.array(np.concatenate(out_v), pa.int64()),
+            }
+        )
+
+    return partitioned_reduce(hist, "g", select_partition, n_meta=n_meta)

@@ -258,3 +258,34 @@ def test_int_quantiles_matches_duckdb(ray_session):
             f"SELECT PERCENTILE_DISC({p / 1000.0}) WITHIN GROUP (ORDER BY x) FROM t"
         ).fetchone()[0]
         assert v == ref, (p, v, ref)
+
+
+def test_grouped_int_quantiles_matches_duckdb(ray_session):
+    import duckdb
+
+    from duke_ray.stages.textstats import grouped_int_quantiles
+
+    rng = np.random.default_rng(11)
+    g = rng.choice(["en", "de", "fr", "xx"], 2000)
+    v = rng.integers(0, 200, 2000)
+    ds = ray.data.from_arrow(
+        pa.table({"lang": pa.array(g), "n": pa.array(v, pa.int64())})
+    ).repartition(7)
+    got = (
+        grouped_int_quantiles(ds, "lang", "n", (100, 500, 990))
+        .to_pandas()
+        .sort_values(["lang", "p_milli"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pa.table({"g": pa.array(g), "x": pa.array(v, pa.int64())}))
+    for _, row in got.iterrows():
+        ref = con.execute(
+            f"SELECT PERCENTILE_DISC({row['p_milli'] / 1000.0}) WITHIN GROUP (ORDER BY x) "
+            f"FROM t WHERE g = '{row['lang']}'"
+        ).fetchone()[0]
+        assert row["value"] == ref, (row, ref)
+    assert len(got) == 4 * 3  # every (group, p) present exactly once
+
+    with pytest.raises(ValueError):
+        grouped_int_quantiles(ds, "lang", "n", (0,))
