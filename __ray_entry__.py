@@ -352,6 +352,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lexical_topk"] = lexical_topk
 
+    def duplicate_spans(sf):
+        """Substring-level duplicate windows (w=8 tokens, stride 1)
+        across the corpus — the Lee-et-al substring-dedup inventory.
+        Shared boilerplate is planted on every doc_id % 5 == 0 document
+        (the corpus vocab makes organic 8-gram collisions rare), exactly
+        mirrored in the oracle."""
+        from duke_ray.stages.spans import duplicate_spans as dup
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+        def with_boiler(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].cast(pa.int64())
+            mask = ids.to_numpy(zero_copy_only=False) % 5 == 0
+            boiler = pc.if_else(
+                pa.array(mask),
+                pa.scalar(" please subscribe to our newsletter for daily updates"),
+                pa.scalar(""),
+            )
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "text": pc.binary_join_element_wise(
+                        b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray) else b["text"],
+                        boiler,
+                        "",
+                    ),
+                }
+            )
+
+        return dup(docs.map_batches(with_boiler, batch_format="pyarrow"), w=8)
+
+    q["duplicate_spans"] = duplicate_spans
+
     def domain_stats(sf):
         """Per-host page + token rollup over the pages table (host parsed
         from the url column; oracle reconstructs the synthetic host from
@@ -1259,6 +1292,21 @@ FROM tfs GROUP BY term, (doc_id // 1024)
 """
 
     # host reconstructed from doc_id: synth.doc_url = 'site{id%101}.example'
+    sql["duplicate_spans"] = """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || ' please subscribe to our newsletter for daily updates'
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM aug),
+wins AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM toks),
+spans AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS span FROM wins)
+SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
     sql["domain_stats"] = """
 SELECT 'site' || CAST(doc_id % 101 AS VARCHAR) || '.example' AS domain,
        CAST(COUNT(*) AS BIGINT) AS n_pages,

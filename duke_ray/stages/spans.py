@@ -1,0 +1,165 @@
+"""Substring-level duplicate-span detection over a document corpus.
+
+Doc-level dedup (stages/dedup.py) misses the dominant web-corpus failure
+mode: distinct pages sharing boilerplate sentences / templated passages
+(the motivation for suffix-array substring dedup in "Deduplicating
+Training Data Makes Language Models Better", Lee et al. 2022). This
+operator finds every w-token window (stride 1) that occurs in >= 2
+distinct documents — the span inventory a substring-dedup / boilerplate-
+strip pass consumes.
+
+Distributed shape (two passes, the LSH-candidates -> exact-verify
+pattern the dedup family already uses):
+
+1. candidate pass: each batch emits DISTINCT (fnv1a64(span), doc) int64
+   pairs (exact per-batch partials — a doc is one input row, the same
+   invariant as stages/index.py), one ``grouped_sum`` keyed by hash
+   counts distinct docs per hash; hashes with >= 2 docs become the
+   candidate set. Only 16-byte int pairs cross the wire — never span
+   text.
+2. verify pass: re-scan, keep only windows whose hash is a candidate
+   (broadcast sorted array via ``ray.put``, ``np.searchsorted``
+   membership), ship the (span, doc, occ) rows — duplicate spans are a
+   tiny corpus fraction — and one span-keyed ``partitioned_reduce``
+   computes exact (n_docs, n_occ) and drops hash-collision false
+   positives (final counts are per span STRING, so a collision can only
+   add a candidate that then fails the >= 2-docs filter).
+
+At a 1e12-token corpus the candidate set itself can exceed driver
+memory; the documented migration is the same semi-join the
+contamination op documents: hash-partition candidates and verify-pass
+rows on the hash and drop the broadcast. The reference has no substring
+operators (its text path stops at per-cell tokens,
+/root/reference/Duke/dataset.py:60).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..text import fnv1a64_arrow
+
+
+def _windows_batch(
+    batch: pa.Table, w: int, id_col: str, text_col: str
+) -> tuple[pa.Array, np.ndarray]:
+    """-> (span strings, doc_id per span) for every stride-1 w-token
+    window. Tokenization = split on single spaces, the corpus normal
+    form (matches ``string_split(text, ' ')`` in the oracles)."""
+    toks = pc.split_pattern(pc.fill_null(batch[text_col], ""), pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    off = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+        toks.offset : toks.offset + len(toks) + 1
+    ].astype(np.int64)
+    flat = toks.flatten()
+    n_tok = int(off[-1] - off[0])
+    if n_tok < w:
+        return pa.array([], pa.string()), np.array([], np.int64)
+    base = off - off[0]
+    lengths = np.diff(base)
+    # token-level doc index; a window starting at p is valid when the
+    # (p + w - 1)-th token belongs to the same doc
+    tok_doc = np.repeat(np.arange(len(batch), dtype=np.int64), lengths)
+    starts = np.arange(n_tok - w + 1, dtype=np.int64)
+    valid = tok_doc[starts] == tok_doc[starts + w - 1]
+    # join w shifted views with ' ' (one C++ kernel, no Python per row)
+    parts = [flat.slice(i, n_tok - w + 1) for i in range(w)]
+    spans_all = pc.binary_join_element_wise(*parts, " ")
+    sel = pa.array(np.flatnonzero(valid), pa.int64())
+    ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return spans_all.take(sel), ids[tok_doc[starts[valid]]]
+
+
+def duplicate_spans(
+    docs: "ray.data.Dataset",
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    n_meta: int = 256,
+) -> "ray.data.Dataset":
+    """-> (span, n_docs, n_occ) for every w-token window occurring in at
+    least ``min_docs`` distinct documents. Counts are EXACT (hash
+    candidates are re-verified on span strings). Requires one doc per
+    input row (per-batch partials rely on it)."""
+    if w < 2:
+        raise ValueError("w must be >= 2")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        spans, ids = _windows_batch(batch, w, id_col, text_col)
+        h = fnv1a64_arrow(spans).view(np.int64)
+        t = pa.table({"h": pa.array(h, pa.int64()), "doc": pa.array(ids, pa.int64())})
+        g = t.group_by(["h", "doc"]).aggregate([])  # distinct (h, doc) per batch
+        return pa.table({"h": g["h"], "one": pa.array(np.ones(g.num_rows, np.int64))})
+
+    doc_counts = grouped_sum(
+        docs.map_batches(hash_partial, batch_format="pyarrow", batch_size=1024),
+        "h",
+        {"one": "n_docs"},
+        n_meta=n_meta,
+    )
+    def keep_dup_hashes(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["n_docs"], pa.scalar(min_docs, pa.int64()))
+        ).select(["h"])
+
+    cand = doc_counts.map_batches(keep_dup_hashes, batch_format="pyarrow").to_pandas()
+    # an empty Dataset loses its schema through to_pandas
+    hvals = cand["h"].to_numpy() if "h" in cand.columns else np.array([], np.int64)
+    cand_sorted = np.sort(hvals.astype(np.int64))
+    cand_ref = ray.put(cand_sorted)
+
+    def verify_partial(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        empty = pa.table(
+            {
+                "span": pa.array([], pa.string()),
+                "occ": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64()),
+            }
+        )
+        if len(cs) == 0:
+            return empty
+        spans, ids = _windows_batch(batch, w, id_col, text_col)
+        if len(spans) == 0:
+            return empty
+        h = fnv1a64_arrow(spans).view(np.int64)
+        pos = np.searchsorted(cs, h)
+        hit = (pos < len(cs)) & (cs[np.minimum(pos, len(cs) - 1)] == h)
+        idx = pa.array(np.flatnonzero(hit), pa.int64())
+        t = pa.table(
+            {"span": spans.take(idx), "doc": pa.array(ids[hit], pa.int64())}
+        )
+        g = t.group_by(["span", "doc"]).aggregate([("doc", "count")])
+        return pa.table(
+            {
+                "span": g["span"],
+                "occ": g["doc_count"].cast(pa.int64()),
+                "one": pa.array(np.ones(g.num_rows, np.int64)),
+            }
+        )
+
+    verified = docs.map_batches(verify_partial, batch_format="pyarrow", batch_size=1024)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        g = t.group_by("span").aggregate([("one", "sum"), ("occ", "sum")])
+        out = pa.table(
+            {
+                "span": g["span"],
+                "n_docs": g["one_sum"].cast(pa.int64()),
+                "n_occ": g["occ_sum"].cast(pa.int64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["n_docs"], pa.scalar(min_docs, pa.int64())))
+
+    return partitioned_reduce(verified, "span", finalize, n_meta=n_meta)

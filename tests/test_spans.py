@@ -1,0 +1,84 @@
+"""duplicate_spans: substring-level duplicate-window detection."""
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from duke_ray.stages.spans import duplicate_spans
+
+
+def _serial(docs, w, min_docs=2):
+    occ = defaultdict(int)
+    dd = defaultdict(set)
+    for d, t in docs:
+        tok = t.split(" ")
+        for i in range(len(tok) - w + 1):
+            s = " ".join(tok[i : i + w])
+            occ[s] += 1
+            dd[s].add(d)
+    return sorted((s, len(dd[s]), occ[s]) for s in occ if len(dd[s]) >= min_docs)
+
+
+def _ds(docs, blocks=3):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs]),
+            }
+        )
+    ).repartition(blocks)
+
+
+def test_duplicate_spans_matches_serial(ray_session):
+    docs = [
+        (1, "a b c d e f g h unique one tail"),
+        (2, "x a b c d e f g h y"),
+        (3, "no shared window here at all sir maam"),
+        (4, "short"),
+        (5, "a b c d e f g h"),  # exactly one window, also shared
+        (6, "rep rep rep rep rep rep rep rep rep"),  # 1 doc, 2 occ -> excluded
+    ]
+    got = (
+        duplicate_spans(_ds(docs), w=8)
+        .to_pandas()
+        .sort_values("span")
+        .reset_index(drop=True)
+    )
+    assert (
+        list(map(tuple, got[["span", "n_docs", "n_occ"]].itertuples(index=False)))
+        == _serial(docs, 8)
+    )
+
+
+def test_duplicate_spans_random_corpus_and_min_docs(ray_session):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(12)]  # small vocab -> organic collisions
+    docs = [
+        (i, " ".join(rng.choice(vocab, rng.integers(3, 30)))) for i in range(80)
+    ]
+    for w, min_docs in ((3, 2), (4, 3)):
+        got = duplicate_spans(_ds(docs, blocks=7), w=w, min_docs=min_docs).to_pandas()
+        want = _serial(docs, w, min_docs)
+        if "span" not in got.columns:  # empty result loses schema via pandas
+            assert want == [] and len(got) == 0
+            continue
+        got = got.sort_values("span").reset_index(drop=True)
+        assert (
+            list(map(tuple, got[["span", "n_docs", "n_occ"]].itertuples(index=False)))
+            == want
+        )
+        assert want, f"w={w},min_docs={min_docs} case is vacuous"
+
+
+def test_duplicate_spans_empty_and_validation(ray_session):
+    empty = _ds([(1, "too short")], blocks=1)
+    assert duplicate_spans(empty, w=8).count() == 0
+    with pytest.raises(ValueError):
+        duplicate_spans(empty, w=1)
+    with pytest.raises(ValueError):
+        duplicate_spans(empty, w=4, min_docs=1)
