@@ -385,6 +385,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["duplicate_spans"] = duplicate_spans
 
+    def url_dedup(sf):
+        """Canonical-URL dedup: crawl variants of the same page (tracking
+        params, fragments, upper-cased scheme/host) collapse onto one
+        canonical form; min doc_id survives. Urls derive 1:1 from doc_id
+        (doc_id // 2 pairs collide after canonicalization), mirrored in
+        the oracle."""
+        from duke_ray.stages.web import url_dedup as dedup
+
+        docs = read_table(sf, "documents", columns=["doc_id"])
+
+        def mk_urls(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            gid = ids // 2
+            urls = [
+                (
+                    f"https://s{g % 7}.example.com/p/{g}"
+                    if i % 2 == 0
+                    else f"HTTPS://S{g % 7}.EXAMPLE.COM/p/{g}?utm_source=feed#frag"
+                )
+                for i, g in zip(ids, gid)
+            ]
+            return pa.table(
+                {"doc_id": pa.array(ids, pa.int64()), "url": pa.array(urls, pa.string())}
+            )
+
+        return dedup(docs.map_batches(mk_urls, batch_format="pyarrow"))
+
+    q["url_dedup"] = url_dedup
+
     def domain_stats(sf):
         """Per-host page + token rollup over the pages table (host parsed
         from the url column; oracle reconstructs the synthetic host from
@@ -1305,6 +1334,35 @@ spans AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS span F
 SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_occ
 FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+    # url_dedup: replay the engine's RE2 canonicalization chain verbatim
+    # (stages/web.py:canonical_url — shared-RE2 trick, like pii_redact)
+    _u_scheme = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+    _u_host = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+    _u_tail = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)"
+    sql["url_dedup"] = f"""
+WITH urls AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0
+      THEN 'https://s' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.example.com/p/'
+           || CAST(doc_id // 2 AS VARCHAR)
+      ELSE 'HTTPS://S' || CAST((doc_id // 2) % 7 AS VARCHAR) || '.EXAMPLE.COM/p/'
+           || CAST(doc_id // 2 AS VARCHAR) || '?utm_source=feed#frag'
+    END AS url
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '{_u_scheme}', 1)) || '://' ||
+    lower(regexp_extract(url, '{_u_host}', 1)) ||
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_extract(url, '{_u_tail}', 1),
+      '([?&])utm_[^&#]*&', '\\1', 'g'), '([?&])utm_[^&#]*&', '\\1', 'g'),
+      '[?&]utm_[^&#]*$', '', 'g') AS canonical_url
+  FROM urls WHERE regexp_matches(url, '{_u_scheme}'))
+SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM canon GROUP BY canonical_url
 """
 
     sql["domain_stats"] = """

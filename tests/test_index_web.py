@@ -317,3 +317,54 @@ def test_kmeans_lloyd_validation(ray_session):
         kmeans_lloyd(ds, k=0)
     with pytest.raises(ValueError):
         kmeans_lloyd(ds, k=3).take_all()  # k > corpus
+
+
+def test_canonical_url_rules():
+    from duke_ray.stages.web import canonical_url
+
+    urls = pa.array(
+        [
+            "HTTPS://WWW.Example.COM/Path/Q?x=1#frag",       # scheme+host lowered, path case kept
+            "https://a.com/p?utm_source=f&utm_medium=m&x=2",  # two leading utm params
+            "https://a.com/p?x=2&utm_campaign=c",             # trailing utm
+            "https://a.com/p?utm_only=1",                     # query collapses entirely
+            "http://b.com/",
+            "not a url",
+            None,
+        ]
+    )
+    got = canonical_url(urls).to_pylist()
+    assert got == [
+        "https://www.example.com/Path/Q?x=1",
+        "https://a.com/p?x=2",
+        "https://a.com/p?x=2",
+        "https://a.com/p",
+        "http://b.com/",
+        None,
+        None,
+    ]
+
+
+def test_url_dedup_min_id_survives(ray_session):
+    from duke_ray.stages.web import url_dedup
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([3, 1, 2, 9], pa.int64()),
+                "url": pa.array(
+                    [
+                        "https://a.com/x?utm_source=s",
+                        "HTTPS://A.COM/x#top",
+                        "https://b.com/y",
+                        "garbage",  # dropped fail-closed
+                    ]
+                ),
+            }
+        )
+    ).repartition(2)
+    got = url_dedup(ds).to_pandas().sort_values("canonical_url").reset_index(drop=True)
+    assert list(map(tuple, got.itertuples(index=False))) == [
+        ("https://a.com/x", 1, 2),
+        ("https://b.com/y", 2, 1),
+    ]
