@@ -706,3 +706,126 @@ SELECT event_id, purchase_id FROM (
 ) WHERE purchase_id IS NOT NULL
 """
 
+
+
+def regional_revenue(sf_dir: str, year: int = 1996) -> "ray.data.Dataset":
+    """Q5-shaped multi-table join: revenue per (region, supplier nation)
+    for orders placed in ``year``.
+
+    Join-strategy showcase at 100-TB shape: the three dimension tables
+    (supplier -> nation -> region) collapse into ONE broadcast
+    suppkey -> nation-code lookup (``ray.put`` once, ``pc.index_in`` per
+    batch — never shuffled); lineitem pre-aggregates per
+    (orderkey, nation) behind a single packed int64 key before the one
+    large-large hash join against the year-filtered orders keys; the
+    final rollup is a ~|nations| grouped_sum. Only (orderkey, nation)
+    partials and filtered order keys cross the wire. Supplier is treated
+    as a dimension (TPC-H scales it at 1/10 of orders); if it outgrew
+    worker heap the lookup would move to a second hash join keyed on
+    l_suppkey."""
+    import ray
+
+    from ..state.exchange import grouped_sum
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = read_table(sf_dir, "nation").to_pandas()
+    reg = read_table(sf_dir, "region").to_pandas()
+    if len(nat) >= 32:
+        raise ValueError("packed key assumes < 32 nations")
+    r2name = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    n_names = pa.array(nat["n_name"], pa.string())
+    n_regions = pa.array([r2name[int(r)] for r in nat["n_regionkey"]], pa.string())
+    nat_code = {int(k): i for i, k in enumerate(nat["n_nationkey"])}
+    sup_lookup = ray.put(
+        (
+            pa.array(sup["s_suppkey"].to_numpy(), pa.int64()),
+            np.array([nat_code[int(n)] for n in sup["s_nationkey"]], np.int64),
+        )
+    )
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keys, codes = ray.get(sup_lookup)
+        ok = batch["l_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if ok.size and ok.max() >= (1 << 58):
+            raise ValueError("orderkey too large for packed (orderkey, nation) key")
+        idx = pc.index_in(batch["l_suppkey"].cast(pa.int64()), value_set=keys)
+        nat_c = codes[idx.to_numpy(zero_copy_only=False)]
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table(
+            {
+                "k": pa.array(ok * 32 + nat_c, pa.int64()),
+                "rev": _cents(rev),
+                "n": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("k").aggregate([("rev", "sum"), ("n", "sum")])
+        return g.rename_columns(["k", "rev", "n"])
+
+    per_order_nation = grouped_sum(
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536),
+        "k",
+        {"rev": "revenue_cents", "n": "n_lines"},
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k >> 5, pa.int64()),
+                "nat_c": pa.array(k & 31, pa.int64()),
+                "revenue_cents": b["revenue_cents"],
+                "n_lines": b["n_lines"],
+            }
+        )
+
+    left = per_order_nation.map_batches(unpack, batch_format="pyarrow")
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def year_filter(b: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.year(b["o_orderdate"]), pa.scalar(year, pa.int32()))
+        return pa.table({"o_orderkey": b["o_orderkey"].cast(pa.int64())}).filter(
+            pc.fill_null(keep, False)
+        )
+
+    keys = orders.map_batches(year_filter, batch_format="pyarrow", batch_size=65536)
+    joined = left.join(keys, join_type="inner", num_partitions=16, on=("o_orderkey",))
+
+    names_ref = ray.put((n_names, n_regions))
+
+    def rollup_partial(b: pa.Table) -> pa.Table:
+        nn, nr = ray.get(names_ref)
+        code = pa.array(b["nat_c"].to_numpy(zero_copy_only=False), pa.int64())
+        t = pa.table(
+            {
+                "r_name": pc.take(nr, code),
+                "n_name": pc.take(nn, code),
+                "rev": b["revenue_cents"],
+                "n": b["n_lines"],
+            }
+        )
+        g = t.group_by(["r_name", "n_name"]).aggregate([("rev", "sum"), ("n", "sum")])
+        return g.rename_columns(["r_name", "n_name", "rev", "n"])
+
+    return grouped_sum(
+        joined.map_batches(rollup_partial, batch_format="pyarrow", batch_size=65536),
+        ["r_name", "n_name"],
+        {"rev": "revenue_cents", "n": "n_lines"},
+        n_meta=16,
+    )
+
+
+def regional_revenue_sql(year: int = 1996) -> str:
+    return f"""
+SELECT r_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN supplier ON l_suppkey = s_suppkey
+     JOIN nation ON s_nationkey = n_nationkey
+     JOIN region ON n_regionkey = r_regionkey
+WHERE year(o_orderdate) = {year}
+GROUP BY r_name, n_name
+"""
