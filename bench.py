@@ -333,6 +333,54 @@ def run_endurance() -> dict:
     assert (top["score"] > 0).all()
     assert (top["score"].diff().dropna() <= 0).all(), "scores not sorted"
 
+    # substring-level duplicate spans: the candidate exchange is corpus-
+    # TOKEN-scale ((hash, doc) int pairs per window), the substring analog
+    # of the inverted-index leg. A 16-token boilerplate is planted on every
+    # doc_id % 16 == 0 row; 'subscribe' is OOV for the corpus vocab, so the
+    # boiler window's (n_docs, n_occ) have an exact closed form.
+    from duke_ray.stages.spans import duplicate_spans
+
+    _BOILER = (
+        "subscribe to our newsletter for daily updates and never miss "
+        "a single breaking story again friends"
+    )
+    assert len(_BOILER.split(" ")) == 16
+
+    def _with_boiler(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        tail = pa.compute.if_else(
+            pa.array(ids % 16 == 0), pa.scalar(" " + _BOILER), pa.scalar("")
+        )
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        t = b.drop_columns(["text"])
+        return t.append_column("text", pc.binary_join_element_wise(text, tail, ""))
+
+    t0 = time.time()
+    corpus2 = read_documents_varied(SF_DIR, REPLICAS).map_batches(
+        _with_boiler, batch_format="pyarrow"
+    )
+    if n_rows > 1_000_000:
+        reserve_memory_for(corpus2)
+    spans = duplicate_spans(corpus2, w=16).materialize()
+    timings["duplicate_spans"] = round(time.time() - t0, 3)
+    boiler_rows = spans.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["span"], pa.scalar(_BOILER))),
+        batch_format="pyarrow",
+    ).to_pandas()
+    expected_boiler = (n_rows + 15) // 16
+    stats["duplicate_spans"] = {
+        "n_spans": spans.count(),
+        "boiler_docs": int(boiler_rows["n_docs"].iloc[0]) if len(boiler_rows) else 0,
+        "expected_boiler_docs": expected_boiler,
+    }
+    assert len(boiler_rows) == 1, "planted boilerplate span missing"
+    assert int(boiler_rows["n_docs"].iloc[0]) == expected_boiler
+    assert int(boiler_rows["n_occ"].iloc[0]) == expected_boiler
+
     total = sum(timings.values())
     result = {
         "metric": "dedup_endurance_sec",

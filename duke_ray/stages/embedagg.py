@@ -153,10 +153,15 @@ def kmeans_lloyd(
       top-k, so the corpus never sorts).
 
     Topology per iteration: one streamed corpus pass emitting k x dim
-    partial rows + one metadata exchange; the quantized corpus is
-    materialized once and re-read from plasma each pass (``iters`` + 1
-    passes total, the final one emitting assignments). The reference has
-    no clustering op; this extends its embedding aggregation surface
+    partial rows per task; when ``k * dim <= 65536`` the partials come
+    straight to the driver and combine in one numpy pass (blocks x k x
+    dim rows — metadata-sized; skipping the per-iteration sort barrier
+    measurably helps the barrier-bound scaling profile, like the r4
+    PageRank fusion), else they reduce through one ``grouped_sum``
+    exchange. The quantized corpus is materialized once and re-read from
+    plasma each pass (``iters`` + 1 passes total, the final one emitting
+    assignments). The reference has no clustering op; this extends its
+    embedding aggregation surface
     (/root/reference/Duke/dataset_descriptor.py:57 dense similarity) to
     the iterative-clustering family.
     """
@@ -177,7 +182,7 @@ def kmeans_lloyd(
         q = pa.ListArray.from_arrays(pa.array(off - off[0], pa.int32()), pa.array(v, pa.int64()))
         return pa.table({id_col: batch[id_col].cast(pa.int64()), "q": q})
 
-    qv = vecs.map_batches(quant, batch_format="pyarrow", batch_size=4096).materialize()
+    qv = vecs.map_batches(quant, batch_format="pyarrow", batch_size=65536).materialize()
 
     # seeds: k smallest ids. Per-batch partial top-k, tiny driver combine.
     def seed_partial(batch: pa.Table) -> pa.Table:
@@ -226,16 +231,21 @@ def kmeans_lloyd(
                 }
             )
 
-        partials = qv.map_batches(sum_partial, batch_format="pyarrow", batch_size=4096)
-        agg = grouped_sum(
-            partials, "kk", {"sum_micro": "sum_micro", "n_vecs": "n_vecs"}, n_meta=n_meta
-        ).to_pandas()
+        partials = qv.map_batches(sum_partial, batch_format="pyarrow", batch_size=65536)
+        if k * dim <= 65536:
+            agg = partials.to_pandas()
+        else:
+            agg = grouped_sum(
+                partials, "kk", {"sum_micro": "sum_micro", "n_vecs": "n_vecs"}, n_meta=n_meta
+            ).to_pandas()
         kk = agg["kk"].to_numpy()
         new_c = C.copy()
         s = np.zeros((k, dim), np.int64)
         n = np.zeros((k, dim), np.int64)
-        s[kk >> _DIM_BITS, kk & ((1 << _DIM_BITS) - 1)] = agg["sum_micro"].to_numpy()
-        n[kk >> _DIM_BITS, kk & ((1 << _DIM_BITS) - 1)] = agg["n_vecs"].to_numpy()
+        # additive scatter: the driver-combine path carries one row per
+        # (block, cluster, dim), so keys repeat across blocks
+        np.add.at(s, (kk >> _DIM_BITS, kk & ((1 << _DIM_BITS) - 1)), agg["sum_micro"].to_numpy())
+        np.add.at(n, (kk >> _DIM_BITS, kk & ((1 << _DIM_BITS) - 1)), agg["n_vecs"].to_numpy())
         nz = n > 0
         new_c[nz] = _trunc_div(s[nz], n[nz])
         C = new_c
@@ -252,4 +262,4 @@ def kmeans_lloyd(
             }
         )
 
-    return qv.map_batches(assign_out, batch_format="pyarrow", batch_size=4096)
+    return qv.map_batches(assign_out, batch_format="pyarrow", batch_size=65536)
