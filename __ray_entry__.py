@@ -272,6 +272,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lang_token_quantiles"] = lang_token_quantiles
 
+    def event_value_quantiles(sf):
+        """Quantiles over a CONTINUOUS column (events.value): quantize to
+        milli-units once (half-up, the corpus-wide rule), then the exact
+        distributed integer PERCENTILE_DISC — the unbounded-cardinality
+        scale path for value quantiles (histogram cardinality is bounded
+        by the value RANGE in millis, not the corpus)."""
+        from duke_ray.stages.textstats import int_quantiles
+
+        ev = read_table(sf, "events", columns=["value"])
+
+        def to_milli(b: pa.Table) -> pa.Table:
+            m = pc.cast(
+                pc.round(
+                    pc.multiply(b["value"], pa.scalar(1000.0)),
+                    round_mode="half_towards_infinity",
+                ),
+                pa.int64(),
+            )
+            return pa.table({"milli": m})
+
+        return int_quantiles(
+            ev.map_batches(to_milli, batch_format="pyarrow"), "milli",
+            ps_milli=(100, 500, 950, 999),
+        )
+
+    q["event_value_quantiles"] = event_value_quantiles
+
     def bigram_frequencies(sf):
         from duke_ray.stages.textstats import bigram_frequencies as bf
 
@@ -465,6 +492,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return contamination_flags(docs, probes)
 
     q["contamination"] = contamination
+
+    def contamination_semijoin(sf):
+        """SAME semantics/oracle as `contamination`, via the 1e6+-probe
+        scale path: window-hash semi-join + candidate-only exact verify
+        (no O(P) broadcast scans). Shares the `contamination` SQL — the
+        two paths must hash-match each other through it."""
+        from duke_ray.stages.contamination import (
+            contamination_flags_semijoin,
+            leading_ngram_probes,
+        )
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+        probes = leading_ngram_probes(docs, n=3, every=50)
+        return contamination_flags_semijoin(docs, probes)
+
+    q["contamination_semijoin"] = contamination_semijoin
 
     def mentions(sf):
         from duke_ray.stages.triples import extract_mentions
@@ -1378,6 +1421,17 @@ SELECT doc_id, 'site' || CAST(doc_id % 101 AS VARCHAR) || '.example' AS domain
 FROM documents WHERE doc_id % 101 NOT IN (0, 13, 50)
 """
 
+    sql["event_value_quantiles"] = (
+        "WITH ms AS (SELECT CAST(ROUND(value * 1000) AS BIGINT) AS n_tokens"
+        " FROM events)\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT CAST({p} AS BIGINT) AS p_milli, "
+            f"CAST(PERCENTILE_DISC({p / 1000.0}) WITHIN GROUP (ORDER BY n_tokens)"
+            f" AS BIGINT) AS value FROM ms"
+            for p in (100, 500, 950, 999)
+        )
+    )
+
     sql["contamination"] = """
 WITH probes AS (
   SELECT DISTINCT array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS ngram
@@ -1389,6 +1443,9 @@ SELECT d.doc_id,
 FROM documents d CROSS JOIN probes p
 GROUP BY d.doc_id
 """
+
+    # the semi-join scale path must reproduce the broadcast path exactly
+    sql["contamination_semijoin"] = sql["contamination"]
 
     sql["term_frequencies"] = f"""
 WITH {_TOKS_CTE}

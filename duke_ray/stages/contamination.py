@@ -82,3 +82,143 @@ def contamination_flags(
         )
 
     return docs.map_batches(flags, batch_format="pyarrow", batch_size=8192)
+
+
+def contamination_flags_semijoin(
+    docs: "ray.data.Dataset",
+    probes: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_meta: int = 256,
+    max_candidates: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """The 1e6+-probe scale path for :func:`contamination_flags` — SAME
+    pinned semantics (boundary-exact token-sequence hit, n_hits =
+    distinct probes), different topology: instead of broadcasting probe
+    STRINGS and scanning once per probe (O(P) corpus passes worth of
+    match_substring kernels), the probe set is joined to the corpus by
+    window hash:
+
+    1. window pass: for every distinct probe token-length L, each doc
+       emits DISTINCT (fnv64(L-token window), doc) int pairs — exact
+       per-batch partials, a doc is one row (stages/index.py invariant);
+    2. one hash-keyed ``partitioned_reduce`` joins window pairs against
+       the (hash, probe) side -> candidate (doc, probe) pairs. fnv
+       collisions only ADD candidates;
+    3. verify pass: candidates are bounded by true contamination volume
+       (+ ~0 collisions), so they broadcast back (``ray.put``) and one
+       corpus pass does the exact ``' probe ' in ' text '`` check per
+       candidate, emitting n_hits for EVERY doc (0 for non-candidates).
+       A candidate set above ``max_candidates`` raises — past that the
+       right variant ships candidate docs' texts through an id-keyed
+       exchange instead (pipelines/prep.py:semi_join_ids shape).
+
+    Exactness: a true hit always yields a window-hash match (candidate
+    superset), and the verify pass re-checks the full-text boundary-exact
+    rule, so output == the broadcast path == the SQL oracle.
+    """
+    from ..state.exchange import partitioned_reduce
+    from ..text import fnv1a64_arrow
+    from .spans import _windows_batch
+
+    plist = sorted(set(probes))
+    probe_arr = pa.array(plist, pa.string())
+    lengths = sorted({len(p.split(" ")) for p in plist})
+    probe_h = fnv1a64_arrow(probe_arr).view(np.int64)
+    probe_side = pa.table(
+        {
+            "h": pa.array(probe_h, pa.int64()),
+            "doc": pa.array(np.full(len(plist), -1, np.int64), pa.int64()),
+            "probe": probe_arr,
+        }
+    )
+
+    def window_pairs(b: pa.Table) -> pa.Table:
+        hs, ds_ = [], []
+        for w in lengths:
+            if w == 1:
+                toks = pc.split_pattern(pc.fill_null(b[text_col], ""), pattern=" ")
+                flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+                off = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+                    flat.offset : flat.offset + len(flat) + 1
+                ]
+                reps = np.diff(off - off[0]).astype(np.int64)
+                ids = b[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                spans_w = flat.flatten()
+                docs_w = np.repeat(ids, reps)
+            else:
+                spans_w, docs_w = _windows_batch(b, w, id_col, text_col)
+            if len(spans_w) == 0:
+                continue
+            hs.append(fnv1a64_arrow(spans_w).view(np.int64))
+            ds_.append(docs_w)
+        if not hs:
+            return pa.table(
+                {
+                    "h": pa.array([], pa.int64()),
+                    "doc": pa.array([], pa.int64()),
+                    "probe": pa.array([], pa.string()),
+                }
+            )
+        t = pa.table(
+            {"h": pa.array(np.concatenate(hs), pa.int64()), "doc": pa.array(np.concatenate(ds_), pa.int64())}
+        )
+        g = t.group_by(["h", "doc"]).aggregate([])  # distinct per batch == global
+        return pa.table(
+            {"h": g["h"], "doc": g["doc"], "probe": pa.nulls(g.num_rows, pa.string())}
+        )
+
+    pairs = docs.map_batches(window_pairs, batch_format="pyarrow", batch_size=1024)
+    both = pairs.union(ray.data.from_arrow(probe_side))
+
+    def join_partition(t: pa.Table) -> pa.Table:
+        is_probe = pc.is_valid(t["probe"])
+        pr = t.filter(is_probe)
+        wn = t.filter(pc.invert(is_probe))
+        if pr.num_rows == 0 or wn.num_rows == 0:
+            return pa.table(
+                {"doc": pa.array([], pa.int64()), "probe": pa.array([], pa.string())}
+            )
+        j = wn.select(["h", "doc"]).join(
+            pr.select(["h", "probe"]), keys="h", join_type="inner"
+        )
+        return j.select(["doc", "probe"])
+
+    cand = partitioned_reduce(both, "h", join_partition, n_meta=n_meta).to_pandas()
+    if len(cand) > max_candidates:
+        raise ValueError(
+            f"{len(cand)} candidates exceed max_candidates={max_candidates}; "
+            "switch to the id-keyed text semi-join variant"
+        )
+    if len(cand):
+        order = np.lexsort((cand["probe"].to_numpy(), cand["doc"].to_numpy()))
+        cand_doc = cand["doc"].to_numpy()[order]
+        cand_probe = cand["probe"].to_numpy()[order]
+    else:
+        cand_doc = np.array([], np.int64)
+        cand_probe = np.array([], object)
+    cand_ref = ray.put((cand_doc, cand_probe))
+
+    def verify(b: pa.Table) -> pa.Table:
+        cdoc, cprobe = ray.get(cand_ref)
+        ids = b[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        padded = pc.binary_join_element_wise(
+            pa.scalar(" "), b[text_col].cast(pa.string()), pa.scalar(" "), ""
+        )
+        n_hits = np.zeros(len(ids), np.int64)
+        lo = np.searchsorted(cdoc, ids, side="left")
+        hi = np.searchsorted(cdoc, ids, side="right")
+        for i in np.flatnonzero(hi > lo):  # only docs WITH candidates
+            text = padded[i].as_py()
+            for p in cand_probe[lo[i] : hi[i]]:
+                if f" {p} " in text:
+                    n_hits[i] += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return docs.map_batches(verify, batch_format="pyarrow", batch_size=8192)

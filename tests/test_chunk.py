@@ -165,3 +165,52 @@ def test_contamination(ray_session):
     assert got[50]["n_hits"] == 1 and got[50]["contaminated"]
     assert got[7]["n_hits"] == 1 and got[7]["contaminated"]
     assert got[8]["n_hits"] == 0 and not got[8]["contaminated"]
+
+
+def test_contamination_semijoin_equals_broadcast(ray_session):
+    from duke_ray.stages.contamination import (
+        contamination_flags,
+        contamination_flags_semijoin,
+    )
+
+    rng = np.random.default_rng(9)
+    vocab = [f"t{i}" for i in range(20)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(1, 40))) for _ in range(120)]
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    # mixed probe lengths incl. single tokens; some guaranteed hits, some misses
+    probes = [
+        texts[0].split(" ")[0],                      # 1-gram, hits
+        " ".join(texts[1].split(" ")[:2]),           # 2-gram
+        " ".join(texts[2].split(" ")[:5]) if len(texts[2].split(" ")) >= 5 else "t0 t1 t2 t3 t4",
+        "zz never present",                           # miss
+    ]
+    ds = ray.data.from_arrow(docs_tbl).repartition(5)
+    a = (
+        contamination_flags(ds, probes)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        contamination_flags_semijoin(ds, probes)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a["contaminated"].any()  # non-vacuous
+
+
+def test_contamination_semijoin_candidate_cap(ray_session):
+    from duke_ray.stages.contamination import contamination_flags_semijoin
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()), "text": pa.array(["a b c", "a b d"])})
+    )
+    with pytest.raises(ValueError):
+        contamination_flags_semijoin(ds, ["a b"], max_candidates=1).take_all()
