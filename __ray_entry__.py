@@ -299,6 +299,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["event_value_quantiles"] = event_value_quantiles
 
+    def doc_rollup(sf):
+        """GROUP BY ROLLUP(lang, source): doc counts + token mass at all
+        three levels from one corpus scan; rolled-up keys hold 'ALL'."""
+        from duke_ray.pipelines.relational import rollup_counts
+
+        docs = read_table(sf, "documents", columns=["lang", "source", "text"])
+
+        def with_tokens(b: pa.Table) -> pa.Table:
+            n = pc.add(
+                pc.count_substring(b["text"], " "), pa.scalar(1, pa.int32())
+            ).cast(pa.int64())
+            return pa.table({"lang": b["lang"], "source": b["source"], "n_tok": n})
+
+        return rollup_counts(
+            docs.map_batches(with_tokens, batch_format="pyarrow"),
+            ["lang", "source"],
+            {"n_tok": "n_tokens"},
+        )
+
+    q["doc_rollup"] = doc_rollup
+
     def bigram_frequencies(sf):
         from duke_ray.stages.textstats import bigram_frequencies as bf
 
@@ -817,6 +838,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stratified_hash_topk(_extracted(sf), k=20, group_col="lang")
 
     q["stratified_sample"] = stratified_sample
+
+    def mixture_sample(sf):
+        """Training-mixture quotas: 40 en / 10 de / 5 zh docs by
+        deterministic md5 rank; es/fr dropped (not in the mixture)."""
+        from duke_ray.stages.sampling import mixture_sample as mix
+
+        return mix(_extracted(sf), {"en": 40, "de": 10, "zh": 5}, group_col="lang")
+
+    q["mixture_sample"] = mixture_sample
 
     def _perturbed_corpus(sf):
         """documents plus deterministic near-duplicates: copy of each doc
@@ -1432,6 +1462,13 @@ FROM documents WHERE doc_id % 101 NOT IN (0, 13, 50)
         )
     )
 
+    sql["doc_rollup"] = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
     sql["contamination"] = """
 WITH probes AS (
   SELECT DISTINCT array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS ngram
@@ -1711,6 +1748,19 @@ SELECT lang, doc_id, rank_hex FROM (
          ) AS rn
   FROM documents
 ) WHERE rn <= 20
+"""
+
+    sql["mixture_sample"] = """
+SELECT lang, doc_id, rank_hex FROM (
+  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_hex,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE (lang = 'en' AND rn <= 40)
+   OR (lang = 'de' AND rn <= 10)
+   OR (lang = 'zh' AND rn <= 5)
 """
 
     sql["token_budget_head"] = """

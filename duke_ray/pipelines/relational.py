@@ -829,3 +829,83 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE year(o_orderdate) = {year}
 GROUP BY r_name, n_name
 """
+
+
+def rollup_counts(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    sum_cols: dict[str, str] | None = None,
+    sentinel: str = "ALL",
+    n_meta: int = 64,
+) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(key_cols): per-group aggregates at every rollup
+    level, rolled-up key positions holding ``sentinel`` (a literal, not
+    NULL — value-hash-stable across engines).
+
+    Topology: ONE corpus scan emits finest-level per-batch partials
+    (C++ group_by + ``n`` count + optional sums), one ``grouped_sum``
+    exchange per level — but every exchange after the first consumes the
+    PREVIOUS level's output, which is already aggregate-sized, so the
+    corpus is read once and the rollup chain costs |groups|, not rows.
+    """
+    from ..state.exchange import grouped_sum
+
+    sums = dict(sum_cols or {})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k].cast(pa.string()) for k in key_cols}
+        cols["n"] = pa.array(np.ones(batch.num_rows, np.int64), pa.int64())
+        for src in sums:
+            cols[src] = batch[src].cast(pa.int64())
+        t = pa.table(cols)
+        g = t.group_by(key_cols).aggregate([("n", "sum")] + [(c, "sum") for c in sums])
+        out = {k: g[k] for k in key_cols}
+        out["n"] = g["n_sum"]
+        for src in sums:
+            out[src] = g[f"{src}_sum"]
+        return pa.table(out)
+
+    value_map = {"n": "n"} | {c: c for c in sums}
+    level = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        key_cols,
+        value_map,
+        n_meta=n_meta,
+    )
+    levels = [level]
+    for i in range(len(key_cols) - 1, -1, -1):
+        prev = levels[-1]
+
+        def blank(batch: pa.Table, _i: int = i) -> pa.Table:
+            cols = {}
+            for j, k in enumerate(key_cols):
+                cols[k] = (
+                    pa.array([sentinel] * batch.num_rows, pa.string())
+                    if j >= _i
+                    else batch[k]
+                )
+            cols["n"] = batch["n"]
+            for c in sums:
+                cols[c] = batch[c]
+            return pa.table(cols)
+
+        levels.append(
+            grouped_sum(
+                prev.map_batches(blank, batch_format="pyarrow"),
+                key_cols,
+                value_map,
+                n_meta=n_meta,
+            )
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k] for k in key_cols}
+        cols["n_rows"] = batch["n"].cast(pa.int64())
+        for src, dst in sums.items():
+            cols[dst] = batch[src].cast(pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(rename, batch_format="pyarrow")

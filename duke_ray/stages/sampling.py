@@ -220,3 +220,64 @@ def token_budget_head(
         return within_bucket(t.drop_columns(["bucket"]))
 
     return partitioned_reduce(bucketed, "bucket", reduce_partition)
+
+
+def mixture_sample(
+    docs: "ray.data.Dataset",
+    quotas: dict[str, int],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Training-mixture construction: per-group QUOTAS instead of a
+    uniform k — ``quotas[g]`` rows kept for group ``g`` by deterministic
+    (md5(str(id)), id) rank, groups absent from ``quotas`` dropped
+    entirely. The op that turns per-source/language weights into an
+    actual training set (RefinedWeb/DoReMi-style mixtures), built on the
+    :func:`stratified_hash_topk` topology: per-batch partial top-quota
+    per group, one group-keyed exchange of <= quota rows per (group,
+    batch) — the corpus never shuffles and re-runs never reassign."""
+    if not quotas or any(q < 1 for q in quotas.values()):
+        raise ValueError("quotas must be a non-empty dict of positive ints")
+    qkeys = pa.array(sorted(quotas), pa.string())
+    qvals = np.array([quotas[k] for k in sorted(quotas)], np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], pa.string()),
+                    id_col: pa.array([], pa.int64()),
+                    "rank_hex": pa.array([], pa.string()),
+                }
+            )
+        grp = batch[group_col]
+        if isinstance(grp, pa.ChunkedArray):
+            grp = grp.combine_chunks()
+        qi = pc.index_in(grp, value_set=qkeys).to_numpy(zero_copy_only=False)
+        in_mix = ~np.isnan(qi) if qi.dtype.kind == "f" else qi >= 0
+        qi = np.where(in_mix, qi, 0).astype(np.int64)
+        quota_row = np.where(in_mix, qvals[qi], 0)
+        h = _md5_hex(batch[id_col], 32)
+        g = grp.to_numpy(zero_copy_only=False)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, g))
+        gs, hs, isrt, qs = g[order], h[order], ids[order], quota_row[order]
+        starts = np.flatnonzero(np.concatenate([[True], gs[1:] != gs[:-1]]))
+        pos = np.arange(len(gs)) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [len(gs)]]))
+        )
+        keep = pos < qs
+        return pa.table(
+            {
+                group_col: pa.array(gs[keep]),
+                id_col: pa.array(isrt[keep], pa.int64()),
+                "rank_hex": pa.array(hs[keep]),
+            }
+        )
+
+    from ..state.exchange import partitioned_reduce
+
+    partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    return partitioned_reduce(
+        partials, group_col, lambda t: partial(t.drop_columns(["rank_hex"]))
+    )

@@ -4,6 +4,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -138,3 +139,34 @@ def test_stratified_hash_topk_matches_pandas(ray_session, sf_dir):
     sizes = df.groupby("lang").size()
     for lang, n in got.groupby("lang").size().items():
         assert n == min(5, sizes[lang])
+
+
+def test_mixture_sample_quotas(ray_session):
+    import hashlib
+
+    from duke_ray.stages.sampling import mixture_sample
+
+    rng = np.random.default_rng(2)
+    langs = rng.choice(["en", "de", "fr"], 500).tolist()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(500, dtype=np.int64)),
+            "lang": pa.array(langs),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    got = mixture_sample(ds, {"en": 7, "de": 3}).to_pandas()
+    # serial reference
+    want = []
+    for g, quota in (("en", 7), ("de", 3)):
+        ids = [i for i in range(500) if langs[i] == g]
+        ranked = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want += [(g, i) for i in ranked[:quota]]
+    got_pairs = sorted(zip(got["lang"], got["doc_id"]))
+    assert got_pairs == sorted(want)
+    assert "fr" not in set(got["lang"])  # absent group dropped
+
+    with pytest.raises(ValueError):
+        mixture_sample(ds, {})
+    with pytest.raises(ValueError):
+        mixture_sample(ds, {"en": 0})
