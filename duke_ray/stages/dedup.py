@@ -476,6 +476,7 @@ def anti_join_text(
     base: "ray.data.Dataset",
     id_col: str = "doc_id",
     text_col: str = "text",
+    bloom_m_bits: int | None = None,
 ) -> "ray.data.Dataset":
     """Cross-snapshot anti-join by content: rows of ``new`` whose text does
     not appear anywhere in ``base`` -> (doc_id,). The incremental-crawl
@@ -487,6 +488,22 @@ def anti_join_text(
     the same sentinel exact_dedup uses). Duplicates WITHIN ``new`` are
     preserved — this is an anti-join, not a dedup. Same 64-bit-hash
     collision tolerance as exact_dedup (documented there).
+
+    ``bloom_m_bits`` (power-of-two, e.g. ``1 << 27``): pre-filter the new
+    side through a distributed Bloom filter of the base hashes
+    (functions/bloom.py). Bloom-NEGATIVE rows are provably absent from
+    base and become survivors WITHOUT entering the exchange; only
+    bloom-positive rows (true matches + fp-rate false positives) shuffle.
+    Result is EXACT at any false-positive rate — the filter only trades
+    one build pass over base (k bit positions per key on the wire, reused
+    across every incremental crawl against the same snapshot) for most of
+    the new side's exchange volume.
+
+    Measured single-node A/B (2M new / 0.5M base, 25% overlap, 32 CPUs):
+    plain 13.8/14.7 s, bloom 17.7/20.1 s — the saved exchange volume is
+    memcpy-cheap on one machine while the build adds a barrier, so the
+    default stays OFF. The filter is for network-bound clusters or when
+    one base bitmap is reused across many incremental crawls.
     """
 
     def side_rows(kind: int, combine: bool):
@@ -516,6 +533,29 @@ def anti_join_text(
     new_u = new.map_batches(side_rows(1, False), batch_format="pyarrow", batch_size=16384)
     base_u = base.map_batches(side_rows(0, True), batch_format="pyarrow", batch_size=16384)
 
+    if bloom_m_bits is not None:
+        import ray
+
+        from ..functions.bloom import bloom_contains, build_bloom_bits
+
+        # base hash rows feed BOTH the bloom build and the exchange
+        base_u = base_u.materialize()
+        bitmap_ref = ray.put(build_bloom_bits(base_u, "h", m_bits=bloom_m_bits))
+
+        def split(keep_positive: bool):
+            def f(t: pa.Table) -> pa.Table:
+                bm = ray.get(bitmap_ref)
+                hit = bloom_contains(bm, t["h"].to_numpy(zero_copy_only=False))
+                return t.filter(pa.array(hit if keep_positive else ~hit))
+
+            return f
+
+        definite = (
+            new_u.map_batches(split(False), batch_format="pyarrow")
+            .select_columns(["doc_id"])
+        )
+        new_u = new_u.map_batches(split(True), batch_format="pyarrow")
+
     def survivors(t: pa.Table) -> pa.Table:
         k = t["kind"].to_numpy(zero_copy_only=False)
         h = t["h"].to_numpy(zero_copy_only=False)
@@ -528,7 +568,10 @@ def anti_join_text(
 
     from ..state.exchange import partitioned_reduce
 
-    return partitioned_reduce(new_u.union(base_u), "h", survivors)
+    verified = partitioned_reduce(new_u.union(base_u), "h", survivors)
+    if bloom_m_bits is not None:
+        return verified.union(definite)
+    return verified
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -368,3 +368,52 @@ def test_url_dedup_min_id_survives(ray_session):
         ("https://a.com/x", 1, 2),
         ("https://b.com/y", 2, 1),
     ]
+
+
+def test_anti_join_bloom_path_equals_plain(ray_session):
+    from duke_ray.stages.dedup import anti_join_text
+
+    rng = np.random.default_rng(21)
+    base_texts = [f"base text {i} {rng.integers(1e9)}" for i in range(200)]
+    # new: 60 re-crawled (present in base), 140 fresh, 2 nulls, 1 dup-within-new
+    new_texts = base_texts[:60] + [f"fresh {i} {rng.integers(1e9)}" for i in range(140)]
+    new_texts += [None, None, new_texts[80]]
+    base_tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(200, dtype=np.int64)),
+            "text": pa.array(base_texts),
+        }
+    )
+    new_tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1000, 1000 + len(new_texts), dtype=np.int64)),
+            "text": pa.array(new_texts, pa.string()),
+        }
+    )
+    base = ray.data.from_arrow(base_tbl).repartition(4)
+    new = ray.data.from_arrow(new_tbl).repartition(5)
+    plain = sorted(r["doc_id"] for r in anti_join_text(new, base).take_all())
+    # 1 << 9 = 512 bits for 200 keys -> heavy false-positive rate; the
+    # result must STILL be exact (positives verified by the exchange)
+    for m in (1 << 9, 1 << 20):
+        got = sorted(
+            r["doc_id"]
+            for r in anti_join_text(
+                ray.data.from_arrow(new_tbl).repartition(5),
+                ray.data.from_arrow(base_tbl).repartition(4),
+                bloom_m_bits=m,
+            ).take_all()
+        )
+        assert got == plain, (m, len(got), len(plain))
+
+
+def test_bloom_bits_membership(ray_session):
+    from duke_ray.functions.bloom import bloom_contains, build_bloom_bits
+
+    h = np.array([3, 999, -42, 2**62, 7], np.int64)
+    ds = ray.data.from_arrow(pa.table({"h": pa.array(h, pa.int64())})).repartition(2)
+    bm = build_bloom_bits(ds, "h", m_bits=1 << 16, n_shards=8)
+    assert bloom_contains(bm, h).all()  # no false negatives, ever
+    probe = np.arange(10_000, 20_000, dtype=np.int64)
+    fp = bloom_contains(bm, probe).mean()
+    assert fp < 0.01, fp  # 5 keys in 64 Kbit
