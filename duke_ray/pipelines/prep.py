@@ -140,3 +140,29 @@ def prep_training_data(
         surv, chunk_size=chunk_size, overlap=overlap, id_col=id_col, text_col=text_col
     )
     return assign_split(chunks, val_rate_256=val_rate_256)
+
+
+def prep_training_data_to_dir(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    n_buckets: int = 16,
+    fingerprint: str = "",
+    **prep_kwargs,
+) -> dict:
+    """Resumable materialization of :func:`prep_training_data`: chunks land
+    under ``out_dir/bucket=*/`` keyed on (doc_id, chunk_idx) — a pure
+    function of the input, so reruns route every chunk to the same bucket
+    — with per-bucket lineage manifests (state/manifest.py). A killed run
+    resumes paying only the missing buckets' shuffle/write, the same
+    contract the KG pipeline ships (north rule: checkpointed
+    resumability), now on the training-data user story.
+
+    Returns the manifest result dict ({written,skipped,rows}).
+    """
+    from ..state.manifest import write_partitioned_with_manifests
+
+    chunks = prep_training_data(docs, **prep_kwargs)
+    return write_partitioned_with_manifests(
+        chunks, out_dir, key_cols=["doc_id", "chunk_idx"], n_buckets=n_buckets,
+        fingerprint=fingerprint,
+    )

@@ -103,3 +103,48 @@ def test_prep_training_data_end_to_end(ray_session):
     for r in out:
         h = hashlib.md5(f"{r['doc_id']}:{r['chunk_idx']}".encode()).hexdigest()
         assert r["split"] == ("val" if h[:2] < "40" else "train")
+
+
+def test_prep_to_dir_resume(ray_session, tmp_path):
+    import os
+
+    import duckdb
+
+    from duke_ray.pipelines.prep import prep_training_data_to_dir
+
+    rng = np.random.default_rng(6)
+    texts = [
+        " ".join(rng.choice(["the", "data", "and", "for", "with", "model"], 60))
+        for _ in range(80)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(80, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    out = str(tmp_path / "prep_out")
+    r1 = prep_training_data_to_dir(
+        ray.data.from_arrow(tbl).repartition(4), out, n_buckets=8, fingerprint="fp1"
+    )
+    assert sorted(r1["written_buckets"]) == list(range(8))
+    n1 = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/bucket=*/*.parquet')").fetchone()[0]
+    assert n1 > 0
+
+    # crash model: a bucket whose manifest never got stamped redoes work;
+    # stamped buckets are skipped (the manifest, not the data dir, is the
+    # source of truth — data is only ever deleted out-of-band)
+    os.remove(os.path.join(out, "_manifests", "bucket=5.json"))
+    r2 = prep_training_data_to_dir(
+        ray.data.from_arrow(tbl).repartition(4), out, n_buckets=8, fingerprint="fp1"
+    )
+    assert r2["written_buckets"] == [5]
+    assert len(r2["skipped_buckets"]) == 7
+    # a changed input fingerprint invalidates every stamp -> full rewrite
+    # reproducing the fresh-run row count
+    r3 = prep_training_data_to_dir(
+        ray.data.from_arrow(tbl).repartition(4), out, n_buckets=8, fingerprint="fp2"
+    )
+    assert sorted(r3["written_buckets"]) == list(range(8))
+    n3 = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/bucket=*/*.parquet')").fetchone()[0]
+    assert n3 == n1
