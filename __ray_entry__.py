@@ -384,6 +384,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["inverted_index"] = inverted_index
 
+    def index_update(sf):
+        """Incremental index maintenance: index docs < 256, fold the rest
+        in as a delta crawl (bucket_span=64 keeps the split range-aligned);
+        the result must value-hash against the FULL-corpus rebuild oracle
+        — incremental == batch, the update_kg_tables pattern."""
+        from duke_ray.stages.index import inverted_index as inv
+        from duke_ray.stages.index import update_inverted_index
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+        def half(lt: bool):
+            def f(b: pa.Table) -> pa.Table:
+                m = pc.less(b["doc_id"].cast(pa.int64()), pa.scalar(256, pa.int64()))
+                return b.filter(m if lt else pc.invert(m))
+
+            return f
+
+        old_idx = inv(docs.map_batches(half(True), batch_format="pyarrow"), bucket_span=64)
+        delta = docs.map_batches(half(False), batch_format="pyarrow")
+        return update_inverted_index(old_idx, delta, bucket_span=64)
+
+    q["index_update"] = index_update
+
     def lexical_topk(sf):
         """Integer TF-IDF top-20 retrieval for a fixed term bag: one
         corpus scan -> (term, doc, tf) partials; idf = n_docs // df in
@@ -1393,6 +1416,9 @@ SELECT term, CAST(doc_id // 1024 AS BIGINT) AS bucket,
        string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
 FROM tfs GROUP BY term, (doc_id // 1024)
 """
+
+    # index_update must equal the FULL rebuild at its bucket span
+    sql["index_update"] = sql["inverted_index"].replace("1024", "64")
 
     # host reconstructed from doc_id: synth.doc_url = 'site{id%101}.example'
     sql["duplicate_spans"] = """

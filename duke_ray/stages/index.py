@@ -115,3 +115,51 @@ def inverted_index(
         batch_size=8192,
     )
     return partitioned_reduce(partials, "term", _reduce_shards, n_meta=n_meta)
+
+
+def update_inverted_index(
+    old_index: "ray.data.Dataset",
+    delta_docs: "ray.data.Dataset",
+    bucket_span: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_meta: int = 256,
+) -> "ray.data.Dataset":
+    """Incremental index maintenance: fold a delta crawl into an existing
+    doc-range-sharded index WITHOUT touching old shards.
+
+    Valid because shards are keyed (term, doc-range bucket) and a crawl
+    appends doc ids in fresh ranges: the delta's shards are DISJOINT from
+    the old index's, so incremental == full rebuild exactly (the same
+    disjoint-page-sets argument as pipelines/kg.py:update_kg_tables; the
+    `index_update` gate query value-hashes this equality through the full
+    -rebuild oracle). The range-disjointness precondition is CHECKED
+    (max old bucket < min delta bucket), not assumed — an overlapping
+    delta raises instead of silently splitting a shard in two.
+
+    Cost scales with the delta corpus only; the old index streams
+    through untouched (union is zero-copy plan composition).
+    """
+    delta_idx = inverted_index(
+        delta_docs, bucket_span=bucket_span, id_col=id_col, text_col=text_col,
+        n_meta=n_meta,
+    ).materialize()
+
+    def bucket_minmax(b: pa.Table) -> pa.Table:
+        v = b["bucket"].to_numpy(zero_copy_only=False)
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.int64()), "mx": pa.array([], pa.int64())})
+        return pa.table(
+            {"mn": pa.array([int(v.min())], pa.int64()), "mx": pa.array([int(v.max())], pa.int64())}
+        )
+
+    old_mm = old_index.map_batches(bucket_minmax, batch_format="pyarrow").to_pandas()
+    new_mm = delta_idx.map_batches(bucket_minmax, batch_format="pyarrow").to_pandas()
+    if len(old_mm) and len(new_mm) and int(old_mm["mx"].max()) >= int(new_mm["mn"].min()):
+        raise ValueError(
+            "delta doc range overlaps indexed buckets "
+            f"(old max bucket {int(old_mm['mx'].max())} >= "
+            f"delta min bucket {int(new_mm['mn'].min())}); "
+            "incremental maintenance requires fresh id ranges"
+        )
+    return old_index.union(delta_idx)

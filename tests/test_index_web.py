@@ -417,3 +417,43 @@ def test_bloom_bits_membership(ray_session):
     probe = np.arange(10_000, 20_000, dtype=np.int64)
     fp = bloom_contains(bm, probe).mean()
     assert fp < 0.01, fp  # 5 keys in 64 Kbit
+
+
+def test_update_inverted_index_equals_rebuild_and_guards(ray_session):
+    from duke_ray.stages.index import inverted_index, update_inverted_index
+
+    rng = np.random.default_rng(13)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(2, 12))) for _ in range(60)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(60, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    full = ray.data.from_arrow(tbl)
+    old = ray.data.from_arrow(tbl.filter(pa.compute.less(tbl["doc_id"], 32)))
+    delta = ray.data.from_arrow(tbl.filter(pa.compute.greater_equal(tbl["doc_id"], 32)))
+
+    span = 16  # 32 is range-aligned
+    want = (
+        inverted_index(full, bucket_span=span)
+        .to_pandas()
+        .sort_values(["term", "bucket"])
+        .reset_index(drop=True)
+    )
+    got = (
+        update_inverted_index(inverted_index(old, bucket_span=span), delta, bucket_span=span)
+        .to_pandas()
+        .sort_values(["term", "bucket"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+    # overlapping delta range must refuse, not silently split a shard
+    with pytest.raises(ValueError):
+        update_inverted_index(
+            inverted_index(old, bucket_span=span),
+            ray.data.from_arrow(tbl),  # overlaps old ids
+            bucket_span=span,
+        ).take_all()
