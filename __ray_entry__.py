@@ -1229,6 +1229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["pricing_summary"] = rel.pricing_summary
     q["order_revenue_join"] = rel.order_revenue_join
     q["regional_revenue"] = rel.regional_revenue
+    q["customer_order_profile"] = rel.customer_order_profile
     q["user_running_values"] = rel.user_running_values
     q["clicks_asof_purchases"] = rel.clicks_asof_purchases
     q["top_customers"] = rel.top_customers_by_revenue
@@ -2105,6 +2106,7 @@ LATERAL (SELECT unnest(generate_series(
     sql["pricing_summary"] = rel.PRICING_SUMMARY_SQL
     sql["order_revenue_join"] = rel.order_revenue_join_sql()
     sql["regional_revenue"] = rel.regional_revenue_sql()
+    sql["customer_order_profile"] = rel.CUSTOMER_ORDER_PROFILE_SQL
     sql["user_running_values"] = rel.USER_RUNNING_VALUES_SQL
     sql["clicks_asof_purchases"] = rel.CLICKS_ASOF_PURCHASES_SQL
     sql["top_customers"] = rel.top_customers_sql()

@@ -909,3 +909,59 @@ def rollup_counts(
         return pa.table(cols)
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def customer_order_profile(sf_dir: str) -> "ray.data.Dataset":
+    """Per-customer order profile with zero-order customers PRESERVED —
+    the left-outer large-large join form (both sides scale with the
+    account base; broadcast is wrong). Orders pre-aggregate per customer
+    (partitioned_reduce) so the join's right side is one row per active
+    customer; Ray's hash-partitioned ``Dataset.join(left_outer)`` then
+    attaches them to the full customer spine and the nulls become
+    explicit zeros."""
+    from ..state.exchange import grouped_sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "rev": _cents(batch["o_totalprice"]),
+                "n": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("o_custkey").aggregate([("rev", "sum"), ("n", "sum")])
+        return g.rename_columns(["o_custkey", "rev", "n"])
+
+    per_cust = grouped_sum(
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "o_custkey",
+        {"rev": "revenue_cents", "n": "n_orders"},
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    joined = cust.join(
+        per_cust, join_type="left_outer", num_partitions=16,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"].cast(pa.int64()),
+                "n_orders": pc.fill_null(b["n_orders"], 0).cast(pa.int64()),
+                "revenue_cents": pc.fill_null(b["revenue_cents"], 0).cast(pa.int64()),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+CUSTOMER_ORDER_PROFILE_SQL = """
+SELECT c.c_custkey,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents
+FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
