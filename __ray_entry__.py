@@ -946,6 +946,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["dedup_clusters"] = dedup_clusters
 
+    def dedup_keep_best(sf):
+        """Quality-aware canonical selection: per dedup cluster keep the
+        highest-quality member (tie -> smallest doc_id) — the survivor
+        rule real cleaning pipelines use instead of min-id. Composes
+        exact-Jaccard clustering with the quality scorer; full
+        recursive-CTE + row_number oracle."""
+        from duke_ray.stages.dedup import (
+            cluster_pairs,
+            keep_best_in_cluster,
+            ngram_jaccard_pairs,
+        )
+        from duke_ray.stages.textstats import quality_batch
+
+        corpus = _perturbed_corpus(sf).materialize()  # feeds pairs AND scores
+        clusters = cluster_pairs(ngram_jaccard_pairs(corpus, threshold=0.6))
+        scores = corpus.map_batches(quality_batch, batch_format="pyarrow")
+        return keep_best_in_cluster(clusters, scores)
+
+    q["dedup_keep_best"] = dedup_keep_best
+
     def dedup_clusters_minhash(sf):
         """Same clustering over MinHash-estimated pairs (rows-only: the
         estimate is not SQL-expressible). Invariants: min-label property
@@ -1944,6 +1964,43 @@ walk(v, lab) AS (
   SELECT e.d, w.lab FROM walk w JOIN cedges e ON e.s = w.v
 )
 SELECT v AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY v
+"""
+
+    sql["dedup_keep_best"] = f"""
+WITH RECURSIVE {_NGRAM_CORPUS_CTE},
+cedges AS (
+  SELECT doc_a AS s, doc_b AS d FROM jpairs
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM jpairs
+),
+walk(v, lab) AS (
+  SELECT DISTINCT s, s FROM cedges
+  UNION
+  SELECT e.d, w.lab FROM walk w JOIN cedges e ON e.s = w.v
+),
+clus AS (SELECT v AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY v),
+ctoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus),
+cst AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN tok IN ({stop_list}) THEN 1 ELSE 0 END) / GREATEST(COUNT(*), 1) AS stop_ratio,
+         SUM(length(tok)) / GREATEST(COUNT(*), 1) AS avg_len
+  FROM ctoks GROUP BY doc_id
+),
+ql AS (
+  SELECT doc_id,
+         (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 40 ELSE 0 END
+          + CASE WHEN stop_ratio >= 0.01 AND stop_ratio <= 0.6 THEN 30 ELSE 0 END
+          + CASE WHEN avg_len >= 2.0 AND avg_len <= 12.0 THEN 30 ELSE 0 END)::BIGINT AS quality_centi
+  FROM cst
+)
+SELECT cluster_id, doc_id, quality_centi FROM (
+  SELECT c.cluster_id, c.doc_id, ql.quality_centi,
+         row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY ql.quality_centi DESC, c.doc_id
+         ) AS rn
+  FROM clus c JOIN ql USING (doc_id)
+) WHERE rn = 1
 """
 
     sql["dedup_clusters_embedding"] = """

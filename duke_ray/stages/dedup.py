@@ -1010,3 +1010,47 @@ def cluster_pairs(pairs: "ray.data.Dataset", max_rounds: int = 16) -> "ray.data.
             stacklevel=2,
         )
     return labels
+
+
+def keep_best_in_cluster(
+    clusters: "ray.data.Dataset",
+    scores: "ray.data.Dataset",
+    score_col: str = "quality_centi",
+    id_col: str = "doc_id",
+    n_meta: int = 256,
+) -> "ray.data.Dataset":
+    """Canonical-document selection: for every dedup cluster keep the row
+    with the highest ``score_col`` (ties -> smallest id) ->
+    (cluster_id, doc_id, score). The quality-aware survivor rule real
+    cleaning pipelines use instead of min-id (keep the best copy, not
+    the first-crawled one).
+
+    Shape: one hash-partitioned ``Dataset.join`` attaches scores to
+    cluster members (both sides scale with the corpus — broadcast is
+    wrong), then a cluster-keyed ``partitioned_reduce`` takes the
+    per-cluster argmax in one vectorized lexsort pass per partition."""
+    joined = clusters.join(
+        scores, join_type="inner", num_partitions=16, on=(id_col,)
+    )
+
+    def argmax_partition(t: pa.Table) -> pa.Table:
+        c = t["cluster_id"].to_numpy(zero_copy_only=False)
+        q = t[score_col].to_numpy(zero_copy_only=False)
+        d = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -q, c))
+        cs, qs, ds_ = c[order], q[order], d[order]
+        first = np.empty(len(cs), bool)
+        if len(cs):
+            first[0] = True
+            first[1:] = cs[1:] != cs[:-1]
+        return pa.table(
+            {
+                "cluster_id": pa.array(cs[first], pa.int64()),
+                id_col: pa.array(ds_[first], pa.int64()),
+                score_col: pa.array(qs[first], pa.int64()),
+            }
+        )
+
+    from ..state.exchange import partitioned_reduce
+
+    return partitioned_reduce(joined, "cluster_id", argmax_partition, n_meta=n_meta)

@@ -345,3 +345,30 @@ def test_anti_join_text_semantics(ray_session):
         lambda r: r["doc_id"] < 0
     )).to_pandas()["doc_id"].tolist())
     assert got_all == [1, 2, 3, 4, 5]
+
+
+def test_keep_best_in_cluster_argmax_and_ties(ray_session):
+    from duke_ray.stages.dedup import keep_best_in_cluster
+
+    clusters = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 10, 11], pa.int64()),
+                "cluster_id": pa.array([1, 1, 1, 10, 10], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    scores = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 10, 11], pa.int64()),
+                # cluster 1: argmax is doc 2; cluster 10: tie -> smaller id 10
+                "quality_centi": pa.array([40, 70, 70 - 1, 55, 55], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = sorted(
+        (r["cluster_id"], r["doc_id"], r["quality_centi"])
+        for r in keep_best_in_cluster(clusters, scores).take_all()
+    )
+    assert got == [(1, 2, 70), (10, 10, 55)]
