@@ -497,6 +497,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["domain_stats"] = domain_stats
 
+    def doc_rarity(sf):
+        """Rare-token mass per doc in integer milli units — the exact-
+        arithmetic unigram-LM quality-scoring analog (weights derived
+        from the corpus itself)."""
+        from duke_ray.stages.retrieval import doc_rarity as rar
+
+        return rar(read_table(sf, "documents", columns=["doc_id", "text"]))
+
+    q["doc_rarity"] = doc_rarity
+
     def blocklist_filter(sf):
         """Domain-blocklist anti-join over the pages table: blocklist
         broadcast into the batch closure (small-side pattern, no
@@ -1534,6 +1544,16 @@ GROUP BY d.doc_id
     sql["term_frequencies"] = f"""
 WITH {_TOKS_CTE}
 SELECT tok AS token, COUNT(*) AS n FROM toks GROUP BY tok
+"""
+
+    sql["doc_rarity"] = f"""
+WITH {_TOKS_CTE},
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt)
+SELECT t.doc_id,
+       CAST(SUM((tot.total * 1000) // c.n) AS BIGINT) AS rarity_milli
+FROM toks t JOIN cnt c ON t.tok = c.tok CROSS JOIN tot
+GROUP BY t.doc_id
 """
 
     sql["frequent_terms"] = f"""

@@ -136,3 +136,76 @@ def lexical_topk(
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def doc_rarity(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_meta: int = 64,
+) -> "ray.data.Dataset":
+    """Rare-token mass per document -> (doc_id, rarity_milli): the
+    integer-exact analog of a unigram-LM perplexity filter (CCNet-style
+    statistical quality scoring). Token weight = (total_tokens * 1000)
+    // count(term) — inverse frequency in milli units, pure int64 so the
+    distributed score hash-matches SQL exactly (the lexical_topk
+    ``n_docs // df`` template; a float ``-ln p`` weight could never
+    value-hash across engines).
+
+    Two corpus passes: (1) term counts via per-batch C++ group_by
+    partials + one term-keyed grouped_sum (the term_frequencies
+    topology), weights broadcast once via ``ray.put`` (vocabulary-sized;
+    at a 1e8-term vocab the weights join moves to a term-keyed exchange
+    instead — same shape as the index); (2) one scan scoring each doc
+    with a vectorized ``pc.index_in`` gather + ``np.add.reduceat``."""
+    import ray
+
+    from ..state.exchange import grouped_sum
+    from ..text import fnv1a64_arrow  # noqa: F401  (kept: hash-join variant seam)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(b[text_col], ""), pattern=" ")
+        flat = toks.combine_chunks().flatten() if isinstance(toks, pa.ChunkedArray) else toks.flatten()
+        t = pa.table({"term": flat, "n": pa.array(np.ones(len(flat), np.int64))})
+        g = t.group_by("term").aggregate([("n", "sum")])
+        return g.rename_columns(["term", "n"])
+
+    counts = (
+        grouped_sum(
+            docs.map_batches(count_partial, batch_format="pyarrow", batch_size=8192),
+            "term",
+            {"n": "n"},
+            n_meta=n_meta,
+        )
+        .to_pandas()
+    )
+    total = int(counts["n"].sum())
+    terms = pa.array(counts["term"], pa.string())
+    weights = (total * 1000) // counts["n"].to_numpy().astype(np.int64)
+    w_ref = ray.put((terms, weights))
+
+    def score(b: pa.Table) -> pa.Table:
+        tarr, w = ray.get(w_ref)
+        toks = pc.split_pattern(pc.fill_null(b[text_col], ""), pattern=" ")
+        flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+        off = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+            flat.offset : flat.offset + len(flat) + 1
+        ].astype(np.int64)
+        idx = pc.index_in(flat.flatten(), value_set=tarr).to_numpy(zero_copy_only=False)
+        tok_w = w[idx.astype(np.int64)]  # every token is in the corpus vocab
+        starts = off - off[0]
+        if len(tok_w):
+            # clip trailing-empty-row start indices (reduceat requires
+            # index < len; the where() below zeroes those rows anyway)
+            sums = np.add.reduceat(tok_w, np.minimum(starts[:-1], len(tok_w) - 1))
+        else:
+            sums = np.zeros(len(b), np.int64)
+        sums = np.where(np.diff(starts) > 0, sums, 0)
+        return pa.table(
+            {
+                "doc_id": b[id_col].cast(pa.int64()),
+                "rarity_milli": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=8192)
