@@ -507,6 +507,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_rarity"] = doc_rarity
 
+    def cooccurrence(sf):
+        """Windowed term co-occurrence with integer lift scores — the
+        word2vec/GloVe context-pair statistic (one scan, kind-tagged
+        partials through one exchange, two hash joins for unigrams)."""
+        from duke_ray.stages.textstats import cooccurrence as cooc
+
+        return cooc(read_table(sf, "documents", columns=["doc_id", "text"]))
+
+    q["cooccurrence"] = cooccurrence
+
     def blocklist_filter(sf):
         """Domain-blocklist anti-join over the pages table: blocklist
         broadcast into the batch closure (small-side pattern, no
@@ -1554,6 +1564,25 @@ SELECT t.doc_id,
        CAST(SUM((tot.total * 1000) // c.n) AS BIGINT) AS rarity_milli
 FROM toks t JOIN cnt c ON t.tok = c.tok CROSS JOIN tot
 GROUP BY t.doc_id
+"""
+
+    sql["cooccurrence"] = f"""
+WITH {_TOKS_CTE},
+pairs AS (
+  SELECT CASE WHEN t1.tok < t2.tok THEN t1.tok ELSE t2.tok END AS tok_a,
+         CASE WHEN t1.tok < t2.tok THEN t2.tok ELSE t1.tok END AS tok_b
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND t2.pos > t1.pos AND t2.pos <= t1.pos + 4
+   AND t1.tok <> t2.tok
+),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+pr AS (SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+       FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+SELECT p.tok_a, p.tok_b, p.n_ab, ca.n AS n_a, cb.n AS n_b,
+       CAST((p.n_ab * tot.total * 1000) // (ca.n * cb.n) AS BIGINT) AS lift_milli
+FROM pr p JOIN cnt ca ON p.tok_a = ca.tok JOIN cnt cb ON p.tok_b = cb.tok
+CROSS JOIN tot
 """
 
     sql["frequent_terms"] = f"""

@@ -683,3 +683,198 @@ def grouped_int_quantiles(
         )
 
     return partitioned_reduce(hist, "g", select_partition, n_meta=n_meta)
+
+
+def cooccurrence(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    window: int = 4,
+    min_count: int = 3,
+    n_meta: int = 256,
+) -> "ray.data.Dataset":
+    """Windowed unordered term co-occurrence with integer lift scores —
+    the statistical-association primitive for embedding-training prep
+    (word2vec/GloVe-style context-pair counting; the reference consumes
+    such vectors at /root/reference/Duke/embedding.py but leaves their
+    construction to gensim).
+
+    Counts every token pair within ``window`` positions inside one doc
+    (unordered: pair key is lexicographic ``(min, max)``, equal tokens
+    excluded), keeps pairs with n_ab >= min_count, and attaches unigram
+    counts plus ``lift_milli = (n_ab * T * 1000) // (n_a * n_b)`` — the
+    pointwise-lift association score in exact integer milli units (a
+    float PMI ``log`` could never value-hash across engines; monotone in
+    PMI at fixed counts). Valid while ``n_ab * T * 1000 < 2**63``
+    (~1e9-token corpora at web-frequency pairs); past that the score
+    column moves to per-partition Python-int arithmetic.
+
+    Topology (one corpus scan + three token-keyed exchanges): per-batch
+    vectorized pair extraction over the flat token buffer (``window``
+    shifted Arrow slices, no per-row Python) emits kind-tagged count
+    partials — ``"u <tok>"`` unigrams, ``"p <a> <b>"`` pairs, ``"t"``
+    total — through ONE ``grouped_sum`` exchange (plain string keys:
+    pair cardinality is corpus-like, dictionary encoding loses —
+    CLAUDE.md r4). The filtered pair table then attaches unigram counts
+    via two ``partitioned_reduce`` exchanges (kind-tagged union keyed by
+    tok_a then tok_b, in-partition vectorized ``index_in`` lookup) —
+    both sides scale with the corpus so broadcast is wrong, and Ray's
+    ``Dataset.join`` allocates ``num_partitions`` aggregator actors per
+    join, which DEADLOCKS two chained joins in a small-CPU session.
+    Tokens are raw space-splits so DuckDB ``string_split`` reproduces
+    them byte-exactly.
+    """
+    from ..state.exchange import grouped_sum
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(batch[text_col], ""), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+            toks.offset : toks.offset + len(toks) + 1
+        ].astype(np.int64)
+        lengths = off[1:] - off[:-1]
+        row = np.repeat(np.arange(len(toks), dtype=np.int64), lengths)
+        n = len(flat)
+        keys = [pc.binary_join_element_wise(pa.scalar("u"), flat, " ")]
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            same = pa.array(row[d:] == row[:-d])
+            first = flat.slice(0, n - d).filter(same)
+            second = flat.slice(d, n - d).filter(same)
+            ne = pc.not_equal(first, second)
+            first, second = first.filter(ne), second.filter(ne)
+            lt = pc.less(first, second)
+            keys.append(
+                pc.binary_join_element_wise(
+                    pa.scalar("p"),
+                    pc.if_else(lt, first, second),
+                    pc.if_else(lt, second, first),
+                    " ",
+                )
+            )
+        key = pa.concat_arrays([k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k for k in keys])
+        g = pa.table({"key": key}).group_by("key").aggregate([("key", "count")])
+        g = g.rename_columns(["key", "n"])
+        return pa.table(
+            {
+                "key": pa.concat_arrays([g["key"].combine_chunks(), pa.array(["t"])]),
+                "n": pa.concat_arrays(
+                    [g["n"].cast(pa.int64()).combine_chunks(), pa.array([n], pa.int64())]
+                ),
+            }
+        )
+
+    counts = grouped_sum(
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        "key",
+        {"n": "n"},
+        n_meta=n_meta,
+    ).materialize()
+
+    tot_df = counts.map_batches(
+        lambda b: b.filter(pc.equal(b["key"], "t")), batch_format="pyarrow"
+    ).to_pandas()
+    # a zero-row input produces a column-less frame (no batches ever reach
+    # the partial), so guard the scalar extraction
+    total = int(tot_df["n"].sum()) if "n" in tot_df.columns else 0
+
+    def split_uni(b: pa.Table) -> pa.Table:
+        m = pc.starts_with(b["key"], "u ")
+        t = b.filter(m)
+        return pa.table(
+            {"tok": pc.utf8_slice_codeunits(t["key"], 2), "n_uni": t["n"].cast(pa.int64())}
+        )
+
+    def split_pairs(b: pa.Table) -> pa.Table:
+        m = pc.starts_with(b["key"], "p ")
+        t = b.filter(m)
+        t = t.filter(pc.greater_equal(t["n"], min_count))
+        parts = pc.split_pattern(t["key"], " ")
+        return pa.table(
+            {
+                "tok_a": pc.list_element(parts, 1),
+                "tok_b": pc.list_element(parts, 2),
+                "n_ab": t["n"].cast(pa.int64()),
+            }
+        )
+
+    from ..state.exchange import partitioned_reduce
+
+    uni = counts.map_batches(split_uni, batch_format="pyarrow")
+    pairs = counts.map_batches(split_pairs, batch_format="pyarrow")
+
+    def _attach(pair_ds, key_col, other_col, carried, out_col):
+        """Attach the unigram count of ``key_col``'s token as ``out_col``
+        via one token-keyed exchange: pair rows (n_ab non-null) and
+        vocab rows (n_ab null) co-locate by token; in-partition
+        vectorized ``index_in`` gather. ``carried`` columns ride along."""
+
+        def pair_side(b: pa.Table) -> pa.Table:
+            cols = {"key": b[key_col], "other": b[other_col], "n_ab": b["n_ab"]}
+            for c in carried:
+                cols[c] = b[c]
+            cols["n_uni"] = pa.nulls(b.num_rows, pa.int64())
+            return pa.table(cols)
+
+        def uni_side(b: pa.Table) -> pa.Table:
+            cols = {
+                "key": b["tok"],
+                "other": pa.nulls(b.num_rows, pa.string()),
+                "n_ab": pa.nulls(b.num_rows, pa.int64()),
+            }
+            for c in carried:
+                cols[c] = pa.nulls(b.num_rows, pa.int64())
+            cols["n_uni"] = b["n_uni"]
+            return pa.table(cols)
+
+        tagged = pair_ds.map_batches(pair_side, batch_format="pyarrow").union(
+            uni.map_batches(uni_side, batch_format="pyarrow")
+        )
+
+        def attach_partition(t: pa.Table) -> pa.Table:
+            is_pair = pc.is_valid(t["n_ab"])
+            p = t.filter(is_pair)
+            cols = {
+                key_col: p["key"],
+                other_col: p["other"],
+                "n_ab": p["n_ab"],
+            }
+            for c in carried:
+                cols[c] = p[c]
+            if p.num_rows == 0:
+                cols[out_col] = pa.array([], pa.int64())
+                return pa.table(cols)
+            u = t.filter(pc.invert(is_pair))
+            idx = pc.index_in(p["key"], value_set=u["key"].combine_chunks())
+            if idx.null_count:
+                raise AssertionError("pair token missing from unigram vocab")
+            cols[out_col] = u["n_uni"].take(idx)
+            return pa.table(cols)
+
+        return partitioned_reduce(tagged, "key", attach_partition, n_meta=n_meta)
+
+    with_a = _attach(pairs, "tok_a", "tok_b", (), "n_a")
+    with_ab = _attach(with_a, "tok_b", "tok_a", ("n_a",), "n_b")
+
+    def finalize(b: pa.Table) -> pa.Table:
+        n_ab = b["n_ab"].to_numpy(zero_copy_only=False)
+        n_a = b["n_a"].to_numpy(zero_copy_only=False)
+        n_b = b["n_b"].to_numpy(zero_copy_only=False)
+        lift = (n_ab * total * 1000) // (n_a * n_b)
+        return pa.table(
+            {
+                "tok_a": b["tok_a"],
+                "tok_b": b["tok_b"],
+                "n_ab": pa.array(n_ab, pa.int64()),
+                "n_a": pa.array(n_a, pa.int64()),
+                "n_b": pa.array(n_b, pa.int64()),
+                "lift_milli": pa.array(lift, pa.int64()),
+            }
+        )
+
+    return with_ab.map_batches(finalize, batch_format="pyarrow")

@@ -289,3 +289,56 @@ def test_grouped_int_quantiles_matches_duckdb(ray_session):
 
     with pytest.raises(ValueError):
         grouped_int_quantiles(ds, "lang", "n", (0,))
+
+
+def _cooc_reference(texts, window, min_count):
+    from collections import Counter
+
+    uni, pairs, total = Counter(), Counter(), 0
+    for t in texts:
+        toks = t.split(" ")
+        total += len(toks)
+        uni.update(toks)
+        for i in range(len(toks)):
+            for d in range(1, window + 1):
+                j = i + d
+                if j < len(toks) and toks[i] != toks[j]:
+                    a, b = sorted((toks[i], toks[j]))
+                    pairs[(a, b)] += 1
+    return {
+        (a, b): (n_ab, uni[a], uni[b], n_ab * total * 1000 // (uni[a] * uni[b]))
+        for (a, b), n_ab in pairs.items()
+        if n_ab >= min_count
+    }
+
+
+def test_cooccurrence_matches_scalar_reference(ray_session):
+    from duke_ray.stages.textstats import cooccurrence
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ate",
+        "cat cat cat",          # equal-token pairs excluded
+        "",                      # empty text -> one '' token, no pairs
+        "a b a b a",            # window-2 pairs wrap repeated tokens
+    ] * 3
+    ids = list(range(len(texts)))
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ).repartition(4)  # force cross-block partial merges
+    got = cooccurrence(ds, window=2, min_count=2).to_pandas()
+    want = _cooc_reference(texts, window=2, min_count=2)
+    got_d = {
+        (r.tok_a, r.tok_b): (r.n_ab, r.n_a, r.n_b, r.lift_milli)
+        for r in got.itertuples()
+    }
+    assert got_d == want
+    assert len(got_d) > 0
+
+
+def test_cooccurrence_rejects_bad_window(ray_session):
+    from duke_ray.stages.textstats import cooccurrence
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(["x y"])}))
+    with pytest.raises(ValueError):
+        cooccurrence(ds, window=0)
