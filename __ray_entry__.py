@@ -517,6 +517,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["cooccurrence"] = cooccurrence
 
+    def sort_manifest(sf):
+        """Range-partition manifest of a global ORDER BY n_tokens:
+        exact percentile boundaries from a metadata-sized histogram
+        exchange, one assignment scan, per-part min/max/count — the
+        distributed-sort layout as an oracle-checkable artifact."""
+        from duke_ray.stages.sortexport import sort_manifest as sm
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+        def with_tokens(b: pa.Table) -> pa.Table:
+            toks = pa.compute.split_pattern(
+                pa.compute.fill_null(b["text"], ""), pattern=" "
+            )
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].cast(pa.int64()),
+                    "n_tokens": pa.compute.list_value_length(toks).cast(pa.int64()),
+                }
+            )
+
+        return sm(
+            docs.map_batches(with_tokens, batch_format="pyarrow"),
+            col="n_tokens",
+            n_parts=8,
+        )
+
+    q["sort_manifest"] = sort_manifest
+
     def blocklist_filter(sf):
         """Domain-blocklist anti-join over the pages table: blocklist
         broadcast into the batch closure (small-side pattern, no
@@ -1583,6 +1611,28 @@ SELECT p.tok_a, p.tok_b, p.n_ab, ca.n AS n_a, cb.n AS n_b,
        CAST((p.n_ab * tot.total * 1000) // (ca.n * cb.n) AS BIGINT) AS lift_milli
 FROM pr p JOIN cnt ca ON p.tok_a = ca.tok JOIN cnt cb ON p.tok_b = cb.tok
 CROSS JOIN tot
+"""
+
+    _sm_bounds = "\nUNION ALL\n".join(
+        f"SELECT CAST(PERCENTILE_DISC({i / 8.0}) WITHIN GROUP (ORDER BY val)"
+        " AS BIGINT) AS bv FROM v"
+        for i in range(1, 8)
+    )
+    sql["sort_manifest"] = f"""
+WITH v AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS val
+  FROM documents
+),
+b AS ({_sm_bounds}),
+p AS (
+  SELECT doc_id, val,
+         (SELECT COUNT(*) FROM b WHERE b.bv < v2.val) AS part
+  FROM v v2
+)
+SELECT CAST(part AS BIGINT) AS part, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(val) AS min_val, MAX(val) AS max_val,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM p GROUP BY part
 """
 
     sql["frequent_terms"] = f"""
