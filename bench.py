@@ -381,6 +381,62 @@ def run_endurance() -> dict:
     assert int(boiler_rows["n_docs"].iloc[0]) == expected_boiler
     assert int(boiler_rows["n_occ"].iloc[0]) == expected_boiler
 
+    # windowed co-occurrence: the pair-partials exchange carries up to
+    # window x corpus-tokens distinct string keys — the pair analog of the
+    # index/spans legs. A 2-token tail is planted on every doc_id % 8 == 0
+    # row; both tokens are outside the synthetic vocab, so the planted
+    # pair's n_ab, n_a and n_b all equal the planted row count EXACTLY.
+    from duke_ray.stages.textstats import cooccurrence
+
+    _PTOK_A, _PTOK_B = "zqxalpha", "zqxbeta"
+
+    def _with_pair(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        tail = pc.if_else(
+            pa.array(ids % 8 == 0),
+            pa.scalar(f" {_PTOK_A} {_PTOK_B}"),
+            pa.scalar(""),
+        )
+        text = b["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        t = b.drop_columns(["text"])
+        return t.append_column("text", pc.binary_join_element_wise(text, tail, ""))
+
+    t0 = time.time()
+    corpus3 = read_documents_varied(SF_DIR, REPLICAS).map_batches(
+        _with_pair, batch_format="pyarrow"
+    )
+    if n_rows > 1_000_000:
+        reserve_memory_for(corpus3)
+    mc = 100 if n_rows > 100_000 else 3
+    cooc = cooccurrence(corpus3, window=4, min_count=mc).materialize()
+    timings["cooccurrence"] = round(time.time() - t0, 3)
+    planted = cooc.map_batches(
+        lambda b: b.filter(
+            pa.compute.and_(
+                pa.compute.equal(b["tok_a"], pa.scalar(_PTOK_A)),
+                pa.compute.equal(b["tok_b"], pa.scalar(_PTOK_B)),
+            )
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    base_ids = np.arange(n_docs, dtype=np.int64)
+    expected_pair = int(
+        sum(int(((base_ids + r * n_docs) % 8 == 0).sum()) for r in range(REPLICAS))
+    )
+    stats["cooccurrence"] = {
+        "n_pairs": cooc.count(),
+        "planted_n_ab": int(planted["n_ab"].iloc[0]) if len(planted) else 0,
+        "expected": expected_pair,
+        "min_count": mc,
+    }
+    assert len(planted) == 1, "planted co-occurrence pair missing"
+    for c in ("n_ab", "n_a", "n_b"):
+        assert int(planted[c].iloc[0]) == expected_pair, (c, stats["cooccurrence"])
+
     total = sum(timings.values())
     result = {
         "metric": "dedup_endurance_sec",
