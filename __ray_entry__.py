@@ -545,6 +545,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["sort_manifest"] = sort_manifest
 
+    def gram_matrix(sf):
+        """Exact integer Gram matrix of the embedding column (upper
+        triangle) — the distributed covariance/PCA building block; each
+        task ships one dim x dim int64 partial to a driver numpy
+        combine (metadata-sized, the kmeans-partials pattern)."""
+        from duke_ray.stages.embedagg import gram_matrix as gm
+
+        return gm(read_table(sf, "embeddings", columns=["vec_id", "embedding"]))
+
+    q["gram_matrix"] = gram_matrix
+
     def blocklist_filter(sf):
         """Domain-blocklist anti-join over the pages table: blocklist
         broadcast into the batch closure (small-side pattern, no
@@ -2169,6 +2180,19 @@ SELECT query_id, neighbor_id, rank FROM (
     # micro-unit quantization: floor(CAST(e AS DOUBLE)*1e6 + 0.5) is the
     # same IEEE float64 op chain numpy runs, so both sides produce the
     # identical int64 before any summation-order-dependent arithmetic
+    sql["gram_matrix"] = """
+WITH flat AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+  FROM embeddings
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.v * b.v) AS BIGINT) AS sum_q, n.n_vecs
+FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.dim <= b.dim CROSS JOIN n
+GROUP BY a.dim, b.dim, n.n_vecs
+"""
+
     sql["label_centroids"] = """
 WITH flat AS (
   SELECT label, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS dim

@@ -457,3 +457,47 @@ def test_update_inverted_index_equals_rebuild_and_guards(ray_session):
             ray.data.from_arrow(tbl),  # overlaps old ids
             bucket_span=span,
         ).take_all()
+
+
+def test_gram_matrix_bit_identical_to_serial(ray_session):
+    import numpy as np
+
+    from duke_ray.stages.embedagg import gram_matrix
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(333, 7)).astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(333, dtype=np.int64)),
+                "embedding": pa.array([r for r in x.tolist()], pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(5)
+    got = gram_matrix(ds, quant=1000).to_pandas()
+    xq = np.floor(x.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    want = xq.T @ xq
+    assert (got["n_vecs"] == 333).all()
+    for r in got.itertuples():
+        assert want[r.i, r.j] == r.sum_q, (r.i, r.j)
+    assert len(got) == 7 * 8 // 2
+
+    # same result at different block counts (summation-order independence)
+    got2 = gram_matrix(ds.repartition(13), quant=1000).to_pandas()
+    assert got.sort_values(["i", "j"]).reset_index(drop=True).equals(
+        got2.sort_values(["i", "j"]).reset_index(drop=True)
+    )
+
+
+def test_gram_matrix_empty(ray_session):
+    from duke_ray.stages.embedagg import gram_matrix
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    assert gram_matrix(ds).num_rows == 0
