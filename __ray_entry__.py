@@ -556,6 +556,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["gram_matrix"] = gram_matrix
 
+    def pca_project(sf):
+        """Distributed PCA projection (rows-only: one float eigensolve
+        on the driver makes it non-SQL-expressible). Invariants checked
+        in-query: components orthonormal, eigenvalues descending, and
+        per-component projected variance matches its eigenvalue."""
+        from duke_ray.stages.embedagg import pca_project as pca
+
+        ds = pca(
+            read_table(sf, "embeddings", columns=["vec_id", "embedding"]), k=8
+        ).materialize()
+        m = pca.last_model
+        w, evals = m["components"], m["eigenvalues"]
+        _require(
+            bool(np.allclose(w.T @ w, np.eye(w.shape[1]), atol=1e-9)),
+            "PCA components not orthonormal",
+        )
+        _require(
+            bool(np.all(np.diff(evals) <= 1e-12)), "eigenvalues not descending"
+        )
+        df = ds.to_pandas()
+        var = (
+            df.assign(c=df["coord_micro"] / 1e6)
+            .groupby("comp")["c"]
+            .apply(lambda s: float((s**2).sum() / max(1, len(s) - 1)))
+        )
+        _require(
+            bool(np.allclose(var.to_numpy(), evals[var.index], rtol=1e-3, atol=1e-9)),
+            "projected variance != eigenvalue",
+        )
+        return ds
+
+    q["pca_project"] = pca_project
+
     def blocklist_filter(sf):
         """Domain-blocklist anti-join over the pages table: blocklist
         broadcast into the batch closure (small-side pattern, no

@@ -338,3 +338,79 @@ def gram_matrix(
             "n_vecs": pa.array(np.full(len(iu), n_vecs, np.int64), pa.int64()),
         }
     )
+
+
+def pca_project(
+    vecs: "ray.data.Dataset",
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1000,
+) -> "ray.data.Dataset":
+    """Distributed PCA projection: exact integer second moments
+    (:func:`gram_matrix` + per-dim sums) -> driver eigendecomposition of
+    the dim x dim covariance (metadata-sized, float64 once) -> broadcast
+    components -> ONE streamed projection pass. The corpus crosses the
+    wire zero times; only dim^2 partials move.
+
+    Output (vec_id, comp, coord_micro): centered projections in integer
+    micro-units. Approximate by construction (input quantization + one
+    float eigensolve), hence rows-only in the driver gate with in-query
+    invariants (orthonormal components, descending eigenvalues) — the
+    same contract as ivf_topk. Component signs are fixed by making each
+    eigenvector's largest-magnitude entry positive, so the result is
+    deterministic at any parallelism.
+
+    Returns a Dataset; the chosen components and eigenvalues are
+    attached as ``pca_project.last_model`` for tests/invariants.
+    """
+    import ray
+
+    g = gram_matrix(vecs, vec_col=vec_col, quant=quant).to_pandas()
+    if not len(g):
+        raise ValueError("pca_project on an empty dataset")
+    n = int(g["n_vecs"].iloc[0])
+    d = int(g["j"].max()) + 1
+    s = np.zeros((d, d), np.float64)
+    s[g["i"], g["j"]] = g["sum_q"] / (quant * quant)
+    s = s + np.triu(s, 1).T  # mirror the upper triangle
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        row, dim, val = _flatten_embeddings(b, vec_col)
+        out = np.zeros(d, np.float64)
+        np.add.at(out, dim, np.floor(val * quant + 0.5) / quant)
+        return pa.table({"s": pa.array([out.tolist()], pa.list_(pa.float64()))})
+
+    sp = vecs.map_batches(sum_partial, batch_format="pyarrow", batch_size=4096).to_pandas()
+    col_sum = np.sum([np.asarray(r, np.float64) for r in sp["s"]], axis=0)
+    mean = col_sum / n
+    cov = (s - n * np.outer(mean, mean)) / max(1, n - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    evals, w = evals[order], evecs[:, order]
+    # deterministic sign: largest-|entry| of each component made positive
+    flip = np.sign(w[np.argmax(np.abs(w), axis=0), np.arange(w.shape[1])])
+    flip[flip == 0] = 1.0
+    w = w * flip
+    pca_project.last_model = {"eigenvalues": evals, "components": w, "mean": mean}
+    w_ref = ray.put((mean, w))
+
+    def project(b: pa.Table) -> pa.Table:
+        mu, comp = ray.get(w_ref)
+        row, dim, val = _flatten_embeddings(b, vec_col)
+        x = np.zeros((b.num_rows, d), np.float64)
+        x[row, dim] = np.floor(val * quant + 0.5) / quant
+        coords = (x - mu) @ comp
+        ids = b[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        kk = comp.shape[1]
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, kk), pa.int64()),
+                "comp": pa.array(np.tile(np.arange(kk, dtype=np.int64), len(ids)), pa.int64()),
+                "coord_micro": pa.array(
+                    np.floor(coords.ravel() * 1_000_000 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return vecs.map_batches(project, batch_format="pyarrow", batch_size=4096)

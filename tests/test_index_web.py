@@ -501,3 +501,45 @@ def test_gram_matrix_empty(ray_session):
         )
     )
     assert gram_matrix(ds).num_rows == 0
+
+
+def test_pca_project_matches_serial_numpy(ray_session):
+    import numpy as np
+
+    from duke_ray.stages.embedagg import pca_project
+
+    rng = np.random.default_rng(5)
+    # anisotropic blob: two dominant directions
+    base = rng.normal(size=(400, 6)) * np.array([5.0, 3.0, 1.0, 0.5, 0.2, 0.1])
+    x = base.astype(np.float32)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+                "embedding": pa.array([r for r in x.tolist()], pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(4)
+    got = pca_project(ds, k=3, quant=1000).to_pandas()
+    m = pca_project.last_model
+    # serial reference on the same quantized data
+    xq = np.floor(x.astype(np.float64) * 1000 + 0.5) / 1000
+    mu = xq.mean(axis=0)
+    cov = (xq - mu).T @ (xq - mu) / (len(xq) - 1)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:3]
+    np.testing.assert_allclose(m["eigenvalues"], evals[order], rtol=1e-8)
+    # projections match the serial reference up to the fixed sign rule
+    w = evecs[:, order]
+    flip = np.sign(w[np.argmax(np.abs(w), axis=0), np.arange(3)])
+    ref = (xq - mu) @ (w * flip)
+    got_mat = (
+        got.pivot(index="vec_id", columns="comp", values="coord_micro").to_numpy() / 1e6
+    )
+    np.testing.assert_allclose(got_mat, ref, atol=2e-6)
+
+    # deterministic across block counts
+    got2 = pca_project(ds.repartition(9), k=3, quant=1000).to_pandas()
+    a = got.sort_values(["vec_id", "comp"]).reset_index(drop=True)
+    b = got2.sort_values(["vec_id", "comp"]).reset_index(drop=True)
+    assert a.equals(b)
