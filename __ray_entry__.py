@@ -589,6 +589,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pca_project"] = pca_project
 
+    def compression_stats(sf):
+        """zlib compressibility quality signal (rows-only: no zlib in
+        SQL). In-query invariants: one row per doc; ratios bounded; an
+        exact spot-check of 3 docs against a driver-side zlib call."""
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        from duke_ray.stages.textstats import compression_stats as cs
+
+        ds = cs(read_table(sf, "documents", columns=["doc_id", "text"])).materialize()
+        df = ds.to_pandas()
+        raw = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+        _require(len(df) == raw.num_rows, "row count != doc count")
+        _require(bool((df["comp_len"] > 0).all()), "non-positive comp_len")
+        _require(
+            bool((df["ratio_milli"] <= 1200).all()),
+            "zlib expansion beyond overhead bound",
+        )
+        spot = raw.slice(0, 3).to_pydict()
+        by_id = df.set_index("doc_id")
+        for did, text in zip(spot["doc_id"], spot["text"]):
+            want = len(zlib.compress((text or "").encode("utf-8"), 6))
+            _require(
+                int(by_id.loc[did, "comp_len"]) == want,
+                f"comp_len mismatch for doc {did}",
+            )
+        return ds
+
+    q["compression_stats"] = compression_stats
+
     def blocklist_filter(sf):
         """Domain-blocklist anti-join over the pages table: blocklist
         broadcast into the batch closure (small-side pattern, no

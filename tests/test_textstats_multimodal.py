@@ -342,3 +342,29 @@ def test_cooccurrence_rejects_bad_window(ray_session):
     ds = ray.data.from_arrow(pa.table({"text": pa.array(["x y"])}))
     with pytest.raises(ValueError):
         cooccurrence(ds, window=0)
+
+
+def test_compression_stats_matches_zlib(ray_session):
+    import zlib
+
+    from duke_ray.stages.textstats import compression_stats
+
+    texts = ["abc " * 200, "x", "", None, "the quick brown fox"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    got = compression_stats(ds).to_pandas().set_index("doc_id").sort_index()
+    for i, t in enumerate(texts):
+        raw = (t or "").encode("utf-8")
+        assert got.loc[i, "raw_len"] == len(raw)
+        assert got.loc[i, "comp_len"] == len(zlib.compress(raw, 6))
+        assert got.loc[i, "ratio_milli"] == len(zlib.compress(raw, 6)) * 1000 // max(
+            1, len(raw)
+        )
+    # repetitive text compresses far better than prose
+    assert got.loc[0, "ratio_milli"] < got.loc[4, "ratio_milli"]
