@@ -620,6 +620,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["compression_stats"] = compression_stats
 
+    def encode_docs(sf):
+        """Tokenizer fit + transform: frequency-ranked top-1000 vocab
+        (total order: count DESC, token ASC) broadcast once, documents
+        encoded as comma-joined dense ids with OOV = -1."""
+        from duke_ray.stages.chunk import build_vocab, encode_docs as enc
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+        vocab = build_vocab(docs, vocab_size=1000)
+        return enc(docs, vocab)
+
+    q["encode_docs"] = encode_docs
+
     def blocklist_filter(sf):
         """Domain-blocklist anti-join over the pages table: blocklist
         broadcast into the batch closure (small-side pattern, no
@@ -2244,6 +2256,24 @@ SELECT query_id, neighbor_id, rank FROM (
     # micro-unit quantization: floor(CAST(e AS DOUBLE)*1e6 + 0.5) is the
     # same IEEE float64 op chain numpy runs, so both sides produce the
     # identical int64 before any summation-order-dependent arithmetic
+    sql["encode_docs"] = f"""
+WITH {_TOKS_CTE},
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+vocab AS (
+  SELECT tok, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1 AS BIGINT) AS id
+  FROM cnt ORDER BY n DESC, tok LIMIT 1000
+),
+enc AS (
+  SELECT t.doc_id, COALESCE(v.id, -1) AS id, t.pos
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+)
+SELECT doc_id,
+       array_to_string(list(id ORDER BY pos), ',') AS ids,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM enc GROUP BY doc_id
+"""
+
     sql["gram_matrix"] = """
 WITH flat AS (
   SELECT vec_id,

@@ -134,3 +134,116 @@ def regex_redact(
         )
 
     return docs.map_batches(f, batch_format="pyarrow", batch_size=8192)
+
+
+def build_vocab(
+    docs: "ray.data.Dataset",
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    n_meta: int = 64,
+) -> pa.Table:
+    """Frequency-ranked vocabulary (token -> dense id) — the tokenizer
+    'fit' step of a training pipeline. id = rank by (count DESC, token
+    ASC), a TOTAL order, so the vocabulary is deterministic at any
+    parallelism and matches SQL ``ROW_NUMBER() OVER (ORDER BY n DESC,
+    tok)`` exactly.
+
+    Counts flow through the term_frequencies topology (per-batch C++
+    group partials, one vocab-keyed grouped_sum); each count block then
+    emits only its LOCAL top-``vocab_size`` (sorted slice), so the
+    driver sees at most blocks x vocab_size rows — the corpus-scale
+    vocabulary never materializes on the driver. Tokens are raw space
+    splits (byte-identical to ``string_split``)."""
+    from ..state.exchange import grouped_sum
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(pc.fill_null(b[text_col], ""), pattern=" ")
+        flat = toks.combine_chunks().flatten() if isinstance(toks, pa.ChunkedArray) else toks.flatten()
+        g = pa.table({"token": flat}).group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "n"])
+
+    counts = grouped_sum(
+        docs.map_batches(count_partial, batch_format="pyarrow", batch_size=8192),
+        "token",
+        {"n": "n"},
+        n_meta=n_meta,
+    )
+
+    def local_top(b: pa.Table) -> pa.Table:
+        t = b.take(
+            pc.sort_indices(
+                b, sort_keys=[("n", "descending"), ("token", "ascending")]
+            )
+        )
+        return t.slice(0, vocab_size)
+
+    tops = counts.map_batches(local_top, batch_format="pyarrow").to_pandas()
+    if not len(tops):
+        return pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    tops = tops.sort_values(
+        ["n", "token"], ascending=[False, True], kind="mergesort"
+    ).head(vocab_size)
+    return pa.table(
+        {
+            "token": pa.array(tops["token"], pa.string()),
+            "id": pa.array(np.arange(len(tops), dtype=np.int64), pa.int64()),
+            "n": pa.array(tops["n"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+def encode_docs(
+    docs: "ray.data.Dataset",
+    vocab: pa.Table,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Encode documents as dense vocabulary ids -> (doc_id, ids,
+    n_tokens, n_oov); ``ids`` is the comma-joined id sequence (OOV =
+    -1) — the tokenizer 'transform' step. The vocabulary broadcasts
+    once via ``ray.put`` (bounded by vocab_size); encoding is one
+    streamed pass: ``index_in`` gather + list reconstruction +
+    ``binary_join``, no per-row Python."""
+    import ray
+
+    v_ref = ray.put((vocab["token"].combine_chunks(), vocab["id"].to_numpy(zero_copy_only=False)))
+
+    def encode(b: pa.Table) -> pa.Table:
+        v_toks, v_ids = ray.get(v_ref)
+        toks = pc.split_pattern(pc.fill_null(b[text_col], ""), pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        off = np.frombuffer(toks.buffers()[1], dtype=np.int32)[
+            toks.offset : toks.offset + len(toks) + 1
+        ]
+        off0 = (off - off[0]).astype(np.int32)
+        idx_arr = pc.index_in(flat, value_set=v_toks)
+        hit = pc.is_valid(idx_arr).to_numpy(zero_copy_only=False)
+        idx_i = pc.fill_null(idx_arr, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v_ids):
+            ids = np.where(hit, v_ids[idx_i], np.int64(-1))
+        else:
+            ids = np.full(len(flat), -1, np.int64)
+        id_strs = pc.cast(pa.array(ids, pa.int64()), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(off0, pa.int32()), id_strs)
+        joined = pc.binary_join(lists, ",")
+        n_tok = (off0[1:] - off0[:-1]).astype(np.int64)
+        n_oov = np.zeros(b.num_rows, np.int64)
+        np.add.at(n_oov, np.repeat(np.arange(b.num_rows), n_tok), (ids == -1).astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": b[id_col].cast(pa.int64()),
+                "ids": joined,
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(encode, batch_format="pyarrow", batch_size=8192)

@@ -214,3 +214,45 @@ def test_contamination_semijoin_candidate_cap(ray_session):
     )
     with pytest.raises(ValueError):
         contamination_flags_semijoin(ds, ["a b"], max_candidates=1).take_all()
+
+
+def test_build_vocab_and_encode(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from duke_ray.stages.chunk import build_vocab, encode_docs
+
+    texts = ["b b b a a c", "a b zz", "c b"]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    # counts: b=5, a=3, c=2, zz=1 -> truncate to top 3
+    vocab = build_vocab(ds, vocab_size=3)
+    assert vocab["token"].to_pylist() == ["b", "a", "c"]
+    assert vocab["id"].to_pylist() == [0, 1, 2]
+    assert vocab["n"].to_pylist() == [5, 3, 2]
+
+    enc = encode_docs(ds, vocab).to_pandas().set_index("doc_id").sort_index()
+    assert enc.loc[0, "ids"] == "0,0,0,1,1,2"
+    assert enc.loc[1, "ids"] == "1,0,-1"  # zz is OOV after truncation
+    assert enc.loc[1, "n_oov"] == 1
+    assert enc.loc[2, "ids"] == "2,0"
+    assert (enc["n_tokens"] == [6, 3, 2]).all()
+
+
+def test_build_vocab_tie_break_lexicographic(ray_session):
+    import pyarrow as pa
+
+    from duke_ray.stages.chunk import build_vocab
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["z y x z y x"])})
+    )
+    vocab = build_vocab(ds, vocab_size=2)
+    # all counts tie at 2 -> lexicographic order decides ids and the cut
+    assert vocab["token"].to_pylist() == ["x", "y"]
