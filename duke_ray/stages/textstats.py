@@ -708,27 +708,47 @@ def cooccurrence(
     (~1e9-token corpora at web-frequency pairs); past that the score
     column moves to per-partition Python-int arithmetic.
 
-    Topology (one corpus scan + three token-keyed exchanges): per-batch
-    vectorized pair extraction over the flat token buffer (``window``
-    shifted Arrow slices, no per-row Python) emits kind-tagged count
-    partials — ``"u <tok>"`` unigrams, ``"p <a> <b>"`` pairs, ``"t"``
-    total — through ONE ``grouped_sum`` exchange (plain string keys:
-    pair cardinality is corpus-like, dictionary encoding loses —
-    CLAUDE.md r4). The filtered pair table then attaches unigram counts
-    via two ``partitioned_reduce`` exchanges (kind-tagged union keyed by
-    tok_a then tok_b, in-partition vectorized ``index_in`` lookup) —
-    both sides scale with the corpus so broadcast is wrong, and Ray's
-    ``Dataset.join`` allocates ``num_partitions`` aggregator actors per
-    join, which DEADLOCKS two chained joins in a small-CPU session.
+    Topology — TWO corpus scans, sized so the heavy exchange ships int64
+    hashes, never the corpus-pair-scale string table (the first
+    single-pass string design spilled the object store past the local
+    disk at 10M docs — OutOfDiskError; the contamination-semijoin
+    hash-candidate pattern fixes the footprint, trading one extra
+    tokenize scan):
+
+    1. **Candidate pass**: per-batch vectorized pair extraction over the
+       flat token buffer (``window`` shifted slices, no per-row Python)
+       emits ``fnv1a64(a) XOR fnv1a64(b)`` pair hashes — symmetric, so
+       no string building or ordering — through one int64-keyed
+       ``grouped_sum``. Hashes with total count >= min_count become the
+       candidate set (bounded by the OUTPUT size plus ~2^-64 collision
+       noise; broadcast once via ``ray.put``). Equal-token windows are
+       NOT excluded here (their hash is 0), so the set is a strict
+       superset of the true heavy pairs — exactness cannot be lost to a
+       hash collision between unequal tokens.
+    2. **Exact pass**: pair strings ``"p <min> <max>"`` are built ONLY
+       for windows whose hash is a candidate (tiny), alongside
+       vocab-scale ``"u <tok>"`` unigram partials and the ``"t"`` total,
+       through one string-keyed ``grouped_sum``; the min_count filter
+       then re-applies on the EXACT string counts, pruning any hash
+       false-positives. Unigram counts attach via two token-keyed
+       ``partitioned_reduce`` exchanges (kind-tagged union +
+       in-partition ``index_in``) — both sides scale with the corpus so
+       broadcast is wrong, and Ray's ``Dataset.join`` allocates
+       ``num_partitions`` aggregator actors per join, which DEADLOCKS
+       two chained joins in a small-CPU session.
+
     Tokens are raw space-splits so DuckDB ``string_split`` reproduces
     them byte-exactly.
     """
+    import ray
+
     from ..state.exchange import grouped_sum
+    from ..text import fnv1a64_arrow
 
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def _flat_tokens(batch: pa.Table):
         toks = pc.split_pattern(pc.fill_null(batch[text_col], ""), pattern=" ")
         if isinstance(toks, pa.ChunkedArray):
             toks = toks.combine_chunks()
@@ -738,14 +758,63 @@ def cooccurrence(
         ].astype(np.int64)
         lengths = off[1:] - off[:-1]
         row = np.repeat(np.arange(len(toks), dtype=np.int64), lengths)
+        return flat, row
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        flat, row = _flat_tokens(batch)
         n = len(flat)
+        h = fnv1a64_arrow(flat).view(np.int64)
+        hs = []
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            same = row[d:] == row[:-d]
+            hs.append(np.bitwise_xor(h[: n - d][same], h[d:][same]))
+        if not hs:
+            return pa.table({"h": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        g = (
+            pa.table({"h": pa.array(np.concatenate(hs), pa.int64())})
+            .group_by("h")
+            .aggregate([("h", "count")])
+        )
+        return g.rename_columns(["h", "n"])
+
+    cand = (
+        grouped_sum(
+            docs.map_batches(hash_partial, batch_format="pyarrow", batch_size=8192),
+            "h",
+            {"n": "n"},
+            n_meta=n_meta,
+        )
+        .map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"], min_count)).select(["h"]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    cand_ref = ray.put(
+        np.sort(cand["h"].to_numpy().astype(np.int64)) if len(cand) else np.array([], np.int64)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cand_h = ray.get(cand_ref)
+        flat, row = _flat_tokens(batch)
+        n = len(flat)
+        h = fnv1a64_arrow(flat).view(np.int64)
         keys = [pc.binary_join_element_wise(pa.scalar("u"), flat, " ")]
         for d in range(1, window + 1):
             if n <= d:
                 break
-            same = pa.array(row[d:] == row[:-d])
-            first = flat.slice(0, n - d).filter(same)
-            second = flat.slice(d, n - d).filter(same)
+            same = row[d:] == row[:-d]
+            ph = np.bitwise_xor(h[: n - d][same], h[d:][same])
+            hit = np.zeros(len(ph), bool)
+            if len(cand_h):
+                idx = np.searchsorted(cand_h, ph)
+                inb = idx < len(cand_h)
+                hit[inb] = cand_h[idx[inb]] == ph[inb]
+            sel = pa.array(same)
+            first = flat.slice(0, n - d).filter(sel).filter(pa.array(hit))
+            second = flat.slice(d, n - d).filter(sel).filter(pa.array(hit))
             ne = pc.not_equal(first, second)
             first, second = first.filter(ne), second.filter(ne)
             lt = pc.less(first, second)
