@@ -874,8 +874,38 @@ def cooccurrence(
 
     from ..state.exchange import partitioned_reduce
 
-    uni = counts.map_batches(split_uni, batch_format="pyarrow")
     pairs = counts.map_batches(split_pairs, batch_format="pyarrow")
+
+    # the attach exchanges only need unigram counts for tokens that
+    # APPEAR in the filtered pair table (<= 2 x n_pairs, i.e. bounded by
+    # the OUTPUT size — collected driver-side and broadcast once), so the
+    # vocab-scale unigram table is pre-filtered before it ever reaches a
+    # sort exchange. Without this, two full vocabulary sorts dominated
+    # the 10M-doc wall time (tens of millions of rows shipped to attach
+    # counts for a few hundred output tokens).
+    ptok_df = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "tok": pc.unique(
+                    pa.concat_arrays(
+                        [
+                            b["tok_a"].combine_chunks(),
+                            b["tok_b"].combine_chunks(),
+                        ]
+                    )
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    ptoks = pa.array(sorted(set(ptok_df["tok"])), pa.string())
+    ptoks_ref = ray.put(ptoks)
+
+    def split_uni_needed(b: pa.Table) -> pa.Table:
+        t = split_uni(b)
+        return t.filter(pc.is_in(t["tok"], value_set=ray.get(ptoks_ref)))
+
+    uni = counts.map_batches(split_uni_needed, batch_format="pyarrow")
 
     def _attach(pair_ds, key_col, other_col, carried, out_col):
         """Attach the unigram count of ``key_col``'s token as ``out_col``
