@@ -898,7 +898,11 @@ def cooccurrence(
         ),
         batch_format="pyarrow",
     ).to_pandas()
-    ptoks = pa.array(sorted(set(ptok_df["tok"])), pa.string())
+    # a min_count no pair reaches leaves a column-less frame (no batches
+    # survive the filter) — the token set is then empty
+    ptoks = pa.array(
+        sorted(set(ptok_df["tok"])) if "tok" in ptok_df.columns else [], pa.string()
+    )
     ptoks_ref = ray.put(ptoks)
 
     def split_uni_needed(b: pa.Table) -> pa.Table:

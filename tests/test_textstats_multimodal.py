@@ -368,3 +368,38 @@ def test_compression_stats_matches_zlib(ray_session):
         )
     # repetitive text compresses far better than prose
     assert got.loc[0, "ratio_milli"] < got.loc[4, "ratio_milli"]
+
+
+from hypothesis import given, settings, strategies as st
+
+_tok = st.text(alphabet="abcxyz", min_size=0, max_size=3)
+_doc = st.lists(_tok, min_size=0, max_size=12).map(lambda ts: " ".join(ts))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    texts=st.lists(_doc, min_size=1, max_size=8),
+    window=st.integers(min_value=1, max_value=3),
+    min_count=st.integers(min_value=1, max_value=3),
+)
+def test_cooccurrence_property_vs_scalar(ray_session, texts, window, min_count):
+    """The two-pass hash-candidate distributed form equals the scalar
+    reference on arbitrary corpora (tiny alphabet forces heavy token
+    collisions, repeated pairs, empty tokens and all-tie edge cases)."""
+    from duke_ray.stages.textstats import cooccurrence
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+    got = cooccurrence(ds, window=window, min_count=min_count).to_pandas()
+    want = _cooc_reference(texts, window, min_count)
+    got_d = {
+        (r.tok_a, r.tok_b): (r.n_ab, r.n_a, r.n_b, r.lift_milli)
+        for r in got.itertuples()
+    }
+    assert got_d == want
