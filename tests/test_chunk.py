@@ -256,3 +256,43 @@ def test_build_vocab_tie_break_lexicographic(ray_session):
     vocab = build_vocab(ds, vocab_size=2)
     # all counts tie at 2 -> lexicographic order decides ids and the cut
     assert vocab["token"].to_pylist() == ["x", "y"]
+
+
+from hypothesis import given, settings, strategies as st
+
+_tok2 = st.text(alphabet="abqz", min_size=0, max_size=3)
+_doc2 = st.lists(_tok2, min_size=0, max_size=10).map(lambda ts: " ".join(ts))
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(_doc2, min_size=1, max_size=6), v=st.integers(1, 5))
+def test_encode_docs_property_vs_scalar(ray_session, texts, v):
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from duke_ray.stages.chunk import build_vocab, encode_docs
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+    vocab = build_vocab(ds, vocab_size=v)
+    # scalar reference: rank by (count desc, token asc), truncate to v
+    cnt = Counter()
+    for t in texts:
+        cnt.update(t.split(" "))
+    ranked = sorted(cnt, key=lambda k: (-cnt[k], k))[:v]
+    assert vocab["token"].to_pylist() == ranked
+    vid = {t: i for i, t in enumerate(ranked)}
+    got = encode_docs(ds, vocab).to_pandas().set_index("doc_id").sort_index()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        want = [vid.get(x, -1) for x in toks]
+        assert got.loc[i, "ids"] == ",".join(map(str, want))
+        assert got.loc[i, "n_tokens"] == len(toks)
+        assert got.loc[i, "n_oov"] == sum(1 for x in want if x == -1)
