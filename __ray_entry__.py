@@ -642,6 +642,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["adaptive_length_filter"] = adaptive_length_filter
 
+    def weighted_sample(sf):
+        """Importance sampling: keep each doc with probability
+        min(1, n_tokens/1000) via the deterministic md5 rule —
+        token-mass-preserving mixture thinning."""
+        from duke_ray.stages.sampling import weighted_sample as ws
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+        def with_tokens(b: pa.Table) -> pa.Table:
+            toks = pa.compute.split_pattern(
+                pa.compute.fill_null(b["text"], ""), pattern=" "
+            )
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].cast(pa.int64()),
+                    "n_tokens": pa.compute.list_value_length(toks).cast(pa.int64()),
+                }
+            )
+
+        return ws(
+            docs.map_batches(with_tokens, batch_format="pyarrow"),
+            weight_col="n_tokens",
+            full_weight=1000,
+        )
+
+    q["weighted_sample"] = weighted_sample
+
     def blocklist_filter(sf):
         """Domain-blocklist anti-join over the pages table: blocklist
         broadcast into the batch closure (small-side pattern, no
@@ -2296,6 +2323,17 @@ b AS (
 )
 SELECT t.doc_id, t.n_tokens FROM ts t, b
 WHERE t.n_tokens BETWEEN b.lo AND b.hi
+"""
+
+    sql["weighted_sample"] = """
+WITH ts AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, n_tokens FROM ts
+WHERE n_tokens >= 1000
+   OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+      < printf('%04x', (n_tokens * 65536) // 1000)
 """
 
     sql["gram_matrix"] = """

@@ -281,3 +281,38 @@ def mixture_sample(
     return partitioned_reduce(
         partials, group_col, lambda t: partial(t.drop_columns(["rank_hex"]))
     )
+
+
+def weighted_sample(
+    docs: "ray.data.Dataset",
+    weight_col: str,
+    full_weight: int,
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Deterministic WEIGHTED Bernoulli sample: row kept with probability
+    min(1, weight / full_weight) at 1/65536 granularity — importance
+    sampling for training mixtures (e.g. weight = token count keeps
+    long documents and thins short ones, preserving expected token mass
+    per stratum). Pure function of the key: reproducible at any
+    parallelism and expressible in SQL (md5 + printf) for the oracle.
+
+    Rule: keep iff weight >= full_weight OR
+    md5(str(id))[:4] < format((weight * 65536) // full_weight, '04x') —
+    the hash_sample lexicographic idiom with a PER-ROW bound; bound
+    strings are formatted once per DISTINCT weight in the batch (token
+    counts repeat heavily), not per row."""
+    if full_weight <= 0:
+        raise ValueError(f"full_weight must be > 0, got {full_weight}")
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        if np.any(w < 0):
+            raise ValueError("weights must be non-negative")
+        prefix = _md5_hex(batch[id_col], 4)
+        bound = (w * 65536) // full_weight
+        uniq, inv = np.unique(np.minimum(bound, 0xFFFF), return_inverse=True)
+        bstr = np.array([format(int(x), "04x") for x in uniq], dtype="<U4")[inv]
+        keep = (w >= full_weight) | (prefix < bstr)
+        return batch.filter(pa.array(keep))
+
+    return docs.map_batches(per_batch, batch_format="pyarrow", batch_size=16384)

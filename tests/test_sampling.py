@@ -170,3 +170,47 @@ def test_mixture_sample_quotas(ray_session):
         mixture_sample(ds, {})
     with pytest.raises(ValueError):
         mixture_sample(ds, {"en": 0})
+
+
+def test_weighted_sample_rule_exact(ray_session):
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from duke_ray.stages.sampling import weighted_sample
+
+    n = 2000
+    rng = np.random.default_rng(3)
+    w = rng.integers(0, 1500, n).astype(np.int64)  # spans 0, <W and >=W
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "w": pa.array(w, pa.int64()),
+            }
+        )
+    ).repartition(4)
+    got = set(weighted_sample(ds, "w", 1000, id_col="doc_id").to_pandas()["doc_id"])
+    want = set()
+    for i in range(n):
+        pref = hashlib.md5(str(i).encode()).hexdigest()[:4]
+        if w[i] >= 1000 or pref < format(int(w[i]) * 65536 // 1000, "04x"):
+            want.add(i)
+    assert got == want
+    # zero-weight rows never survive; full-weight rows always do
+    assert not any(w[i] == 0 for i in got)
+    kept_frac = len(got) / n
+    assert 0.3 < kept_frac < 0.8  # E[p] ~ 0.54 for uniform weights
+
+
+def test_weighted_sample_validates(ray_session):
+    import pyarrow as pa
+
+    from duke_ray.stages.sampling import weighted_sample
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1], pa.int64()), "w": pa.array([5], pa.int64())})
+    )
+    with pytest.raises(ValueError):
+        weighted_sample(ds, "w", 0)
