@@ -95,3 +95,44 @@ def test_sort_manifest_all_ties_single_partition(ray_session):
     # every boundary equals 42 and assignment counts bounds < val == 0
     assert list(man["part"]) == [0]
     assert man.loc[0, "n_rows"] == 20
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 12), min_size=1, max_size=60),
+    n_parts=st.sampled_from([2, 4, 8, 10]),
+)
+def test_sort_manifest_property_vs_scalar(ray_session, vals, n_parts):
+    """Random small-value-space data (heavy ties) through the distributed
+    manifest equals a scalar reference applying the same PERCENTILE_DISC
+    ceil rule and bounds-strictly-below assignment."""
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(vals), dtype=np.int64)),
+                "val": pa.array(np.asarray(vals, np.int64)),
+            }
+        )
+    ).repartition(3)
+    got = {
+        int(r.part): (r.n_rows, r.min_val, r.max_val, r.min_id, r.max_id)
+        for r in sort_manifest(ds, "val", n_parts=n_parts).to_pandas().itertuples()
+    }
+    # scalar reference
+    sv = sorted(vals)
+    n = len(sv)
+    bounds = sorted(
+        sv[(p * n + 999) // 1000 - 1]
+        for p in (i * 1000 // n_parts for i in range(1, n_parts))
+    )
+    want = {}
+    for i, v in enumerate(vals):
+        part = sum(1 for b in bounds if b < v)
+        r = want.setdefault(part, [0, v, v, i, i])
+        r[0] += 1
+        r[1], r[2] = min(r[1], v), max(r[2], v)
+        r[3], r[4] = min(r[3], i), max(r[4], i)
+    assert got == {k: tuple(v) for k, v in want.items()}
