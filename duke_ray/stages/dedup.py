@@ -304,12 +304,23 @@ def _verified_pairs(
     drain), so (a) the lineage opts back into Ray's progress-guaranteed
     reservation allocator, and (b) each exchange runs as its own execution
     (``materialize`` stage boundaries) so exchange 2's sets scan cannot
-    race ahead of exchange 1 and double the live footprint."""
-    from ..context import reserve_memory_for
+    race ahead of exchange 1 and double the live footprint.
+
+    r5 (VERDICT r4 #1): that machinery is pure fixed cost when the sets
+    table is small — applying it unconditionally regressed the 200k-doc
+    ngram bench ~3x. Gate it on footprint exactly like ``graph.py``'s
+    heavy-plan opt-in: both callers pass a MATERIALIZED ``sets`` (count /
+    size_bytes are metadata reads), and the in-flight working set is ~2x
+    ``sets``, so "heavy" = >1M docs or >4 GiB of sets — far below any
+    store this engine targets, far above the small-corpus regime."""
     from ..state.exchange import partitioned_reduce
 
-    sets = reserve_memory_for(sets)
-    cand = reserve_memory_for(cand)
+    heavy = sets.count() > 1_000_000 or (sets.size_bytes() or 0) > 4 * 2**30
+    if heavy:
+        from ..context import reserve_memory_for
+
+        sets = reserve_memory_for(sets)
+        cand = reserve_memory_for(cand)
 
     def exchange_a(t: pa.Table) -> pa.Table:
         req_t, taken = _deliver_sets(t)
@@ -338,7 +349,11 @@ def _verified_pairs(
     # Exchange 1 keyed on doc_a: deliver value-list(doc_a) to each pair.
     req1 = cand.map_batches(lambda b: _req_rows(b, "doc_a", "doc_b", None), batch_format="pyarrow")
     sets1 = sets.map_batches(_set_rows, batch_format="pyarrow")
-    with_a = partitioned_reduce(sets1.union(req1), "node", exchange_a).materialize()
+    with_a = partitioned_reduce(sets1.union(req1), "node", exchange_a)
+    if heavy:
+        # Stage boundary: exchange 2's sets scan must not race ahead of
+        # exchange 1 and double the live footprint (the 10M livelock).
+        with_a = with_a.materialize()
     # Exchange 2 keyed on doc_b: deliver value-list(doc_b), verify.
     req2 = with_a.map_batches(lambda b: _req_rows(b, "doc_b", "doc_a", "sh_a"), batch_format="pyarrow")
     sets2 = sets.map_batches(_set_rows, batch_format="pyarrow")

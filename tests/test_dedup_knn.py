@@ -301,20 +301,47 @@ def test_cosine_threshold_margin_on_testdata():
         assert margin > 2e-7, f"{sf}: similarity within {margin} of threshold"
 
 
-def test_verify_exchange_opts_into_memory_reservation(corpus):
-    """Regression for the 10M-doc livelock: the set-carrying verify
-    exchanges must run under Ray's progress-guaranteed reservation
-    allocator even though tune_context disables it globally. The opt-in
-    flips the LINEAGE's DataContext snapshot, not the global one."""
+def test_verify_exchange_reservation_gated_on_footprint(corpus):
+    """Regression for BOTH sides of the 10M-doc livelock fix (VERDICT r4
+    #1): a small sets table must NOT pay the reservation + materialize
+    barriers (they regressed the 200k-doc ngram bench ~3x), while a
+    heavy sets table (>1M docs) must opt its lineage into Ray's
+    progress-guaranteed reservation allocator. The opt-in flips the
+    LINEAGE's DataContext snapshot, not the global one."""
+    import numpy as np
+    import pyarrow as pa
     from ray.data import DataContext
 
     from duke_ray.context import tune_context
+    from duke_ray.stages.dedup import _sig_agreement, _verified_pairs
 
     tune_context(force=True)
     assert DataContext.get_current().op_resource_reservation_enabled is False
+
+    # light path: the real pipeline over a small corpus stays unreserved
     ds = ray.data.from_arrow(corpus)
     pairs = minhash_near_dup_pairs(ds, threshold=0.5)
-    assert pairs._plan._context.op_resource_reservation_enabled is True
+    assert pairs._plan._context.op_resource_reservation_enabled is False
+
+    # heavy path: >1M set rows flips the lineage flag (plan-shape check
+    # only — the rows never execute)
+    n = 1_000_001
+    sets = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n + 1, np.int32), pa.int32()),
+                    pa.array([], pa.int64()),
+                ),
+            }
+        )
+    ).materialize()
+    cand = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())})
+    )
+    heavy = _verified_pairs(sets, cand, _sig_agreement, 0.5, "est_jaccard")
+    assert heavy._plan._context.op_resource_reservation_enabled is True
     # the global default is untouched: lean pipelines keep the r3 policy
     assert DataContext.get_current().op_resource_reservation_enabled is False
 
