@@ -26,11 +26,19 @@ pattern the dedup family already uses):
    add a candidate that then fails the >= 2-docs filter).
 
 At a 1e12-token corpus the candidate set itself can exceed driver
-memory; the documented migration is the same semi-join the
-contamination op documents: hash-partition candidates and verify-pass
-rows on the hash and drop the broadcast. The reference has no substring
-operators (its text path stops at per-cell tokens,
-/root/reference/Duke/dataset.py:60).
+memory (on boilerplate-heavy web data the duplicate-span inventory is
+corpus-scale, not output-bounded), so the broadcast is AUTO-ESCALATED
+(VERDICT r4 #2): when the candidate-hash count exceeds
+``max_broadcast_candidates`` the verify pass switches to a fully
+distributed doc-keyed semi-join — candidate (hash, doc) pairs are
+recovered by one more int-only hash exchange, routed to their documents
+together with the document text (one corpus-text shuffle, the same cost
+class as the inverted index), and each partition re-windows only its
+candidate-bearing docs. No driver-side array at any scale; exactness is
+unchanged because the final counts are keyed by span STRING (a hash
+collision can only add a candidate that then fails the >= min_docs
+filter). The reference has no substring operators (its text path stops
+at per-cell tokens, /root/reference/Duke/dataset.py:60).
 """
 
 from __future__ import annotations
@@ -76,6 +84,19 @@ def _windows_batch(
     return spans_all.take(sel), ids[tok_doc[starts[valid]]]
 
 
+def _mix64(v: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 view — used to combine (doc, h)
+    into one membership key whose rare collisions are SAFE (they only add
+    a candidate window that the final span-string >= min_docs filter
+    drops)."""
+    with np.errstate(over="ignore"):
+        x = v.astype(np.int64).view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        x ^= x >> np.uint64(29)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(32)
+    return x
+
+
 def duplicate_spans(
     docs: "ray.data.Dataset",
     w: int = 8,
@@ -83,15 +104,25 @@ def duplicate_spans(
     text_col: str = "text",
     min_docs: int = 2,
     n_meta: int = 256,
+    mode: str = "auto",
+    max_broadcast_candidates: int = 20_000_000,
 ) -> "ray.data.Dataset":
     """-> (span, n_docs, n_occ) for every w-token window occurring in at
     least ``min_docs`` distinct documents. Counts are EXACT (hash
     candidates are re-verified on span strings). Requires one doc per
-    input row (per-batch partials rely on it)."""
+    input row (per-batch partials rely on it).
+
+    ``mode``: ``"broadcast"`` (driver collects the sorted candidate-hash
+    array, ~8 B/hash), ``"semijoin"`` (fully distributed doc-keyed verify,
+    no driver array), or ``"auto"`` (broadcast while the candidate count
+    is <= ``max_broadcast_candidates`` — 160 MB at the default — else
+    semijoin)."""
     if w < 2:
         raise ValueError("w must be >= 2")
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2")
+    if mode not in ("auto", "broadcast", "semijoin"):
+        raise ValueError(f"unknown mode {mode!r}")
 
     from ..state.exchange import grouped_sum, partitioned_reduce
 
@@ -113,7 +144,13 @@ def duplicate_spans(
             pc.greater_equal(t["n_docs"], pa.scalar(min_docs, pa.int64()))
         ).select(["h"])
 
-    cand = doc_counts.map_batches(keep_dup_hashes, batch_format="pyarrow").to_pandas()
+    cand_ds = doc_counts.map_batches(keep_dup_hashes, batch_format="pyarrow").materialize()
+    if mode == "semijoin" or (mode == "auto" and cand_ds.count() > max_broadcast_candidates):
+        return _semijoin_verify(
+            docs, cand_ds, w, id_col, text_col, min_docs, n_meta
+        )
+
+    cand = cand_ds.to_pandas()
     # an empty Dataset loses its schema through to_pandas
     hvals = cand["h"].to_numpy() if "h" in cand.columns else np.array([], np.int64)
     cand_sorted = np.sort(hvals.astype(np.int64))
@@ -150,6 +187,149 @@ def duplicate_spans(
         )
 
     verified = docs.map_batches(verify_partial, batch_format="pyarrow", batch_size=1024)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        g = t.group_by("span").aggregate([("one", "sum"), ("occ", "sum")])
+        out = pa.table(
+            {
+                "span": g["span"],
+                "n_docs": g["one_sum"].cast(pa.int64()),
+                "n_occ": g["occ_sum"].cast(pa.int64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["n_docs"], pa.scalar(min_docs, pa.int64())))
+
+    return partitioned_reduce(verified, "span", finalize, n_meta=n_meta)
+
+
+def _semijoin_verify(
+    docs: "ray.data.Dataset",
+    cand_ds: "ray.data.Dataset",
+    w: int,
+    id_col: str,
+    text_col: str,
+    min_docs: int,
+    n_meta: int,
+) -> "ray.data.Dataset":
+    """Distributed verify pass — no driver-side candidate array.
+
+    Exchange B (h-keyed, ints only): re-scan emits distinct (h, doc)
+    pairs, unioned with the candidate hashes (doc = null marker); each
+    partition keeps only pairs whose h is a candidate. Output is the
+    duplicate-occurrence inventory (h, doc) — corpus-linear int rows.
+
+    Exchange C (doc-keyed): candidate pairs are routed to their documents
+    together with the doc text (one corpus-text shuffle); each partition
+    re-windows ONLY its candidate-bearing docs and keeps windows whose
+    mixed (doc, h) key is a per-doc candidate, emitting exact per-doc
+    (span, occ, one) rows — a doc lives in exactly one partition, so the
+    per-partition (span, doc) group is globally exact.
+
+    Exchange D (span-keyed): same string-keyed finalize as the broadcast
+    path; hash/mix collisions only ever ADD candidates that fail the
+    >= min_docs filter here. This plan carries corpus text through a sort
+    barrier, so its lineage opts into the reservation allocator (the 10M
+    dedup-verify livelock lesson) with a materialize boundary between the
+    int exchange and the text exchange."""
+    from ..context import reserve_memory_for
+    from ..state.exchange import partitioned_reduce
+
+    docs = reserve_memory_for(docs)
+    cand_ds = reserve_memory_for(cand_ds)
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        spans, ids = _windows_batch(batch, w, id_col, text_col)
+        h = fnv1a64_arrow(spans).view(np.int64)
+        t = pa.table({"h": pa.array(h, pa.int64()), "doc": pa.array(ids, pa.int64())})
+        g = t.group_by(["h", "doc"]).aggregate([])
+        return pa.table({"h": g["h"], "doc": g["doc"].cast(pa.int64())})
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"h": batch["h"], "doc": pa.nulls(batch.num_rows, pa.int64())})
+
+    def keep_candidate_pairs(t: pa.Table) -> pa.Table:
+        is_cand = pc.is_null(t["doc"])
+        ch = np.sort(t.filter(is_cand)["h"].to_numpy(zero_copy_only=False))
+        prs = t.filter(pc.invert(is_cand))
+        if len(ch) == 0 or prs.num_rows == 0:
+            return pa.table({"h": pa.array([], pa.int64()), "doc": pa.array([], pa.int64())})
+        ph = prs["h"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ch, ph)
+        hit = (pos < len(ch)) & (ch[np.minimum(pos, len(ch) - 1)] == ph)
+        return prs.filter(pa.array(hit))
+
+    pairs = docs.map_batches(pair_rows, batch_format="pyarrow", batch_size=1024)
+    cand_pairs = partitioned_reduce(
+        pairs.union(cand_ds.map_batches(cand_rows, batch_format="pyarrow")),
+        "h",
+        keep_candidate_pairs,
+        n_meta=n_meta,
+    ).materialize()
+
+    def doc_text_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc": batch[id_col].cast(pa.int64()),
+                "h": pa.nulls(batch.num_rows, pa.int64()),
+                "text": batch[text_col].cast(pa.string()),
+            }
+        )
+
+    def pair_side_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc": batch["doc"],
+                "h": batch["h"],
+                "text": pa.nulls(batch.num_rows, pa.string()),
+            }
+        )
+
+    def window_candidates(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "span": pa.array([], pa.string()),
+                "occ": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64()),
+            }
+        )
+        is_pair = pc.is_valid(t["h"])
+        prs = t.filter(is_pair)
+        if prs.num_rows == 0:
+            return empty
+        cd = prs["doc"].to_numpy(zero_copy_only=False)
+        chh = prs["h"].to_numpy(zero_copy_only=False)
+        ckey = np.sort(_mix64(cd) ^ chh.view(np.uint64))
+        cdocs = np.unique(cd)
+        dts = t.filter(pc.invert(is_pair))
+        # window only candidate-bearing docs
+        did = dts["doc"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cdocs, did)
+        has_cand = (pos < len(cdocs)) & (cdocs[np.minimum(pos, len(cdocs) - 1)] == did)
+        dts = dts.filter(pa.array(has_cand))
+        if dts.num_rows == 0:
+            return empty
+        spans, ids = _windows_batch(dts, w, "doc", "text")
+        if len(spans) == 0:
+            return empty
+        h = fnv1a64_arrow(spans)
+        qkey = _mix64(ids) ^ h
+        pos = np.searchsorted(ckey, qkey)
+        hit = (pos < len(ckey)) & (ckey[np.minimum(pos, len(ckey) - 1)] == qkey)
+        idx = pa.array(np.flatnonzero(hit), pa.int64())
+        wt = pa.table({"span": spans.take(idx), "doc": pa.array(ids[hit], pa.int64())})
+        g = wt.group_by(["span", "doc"]).aggregate([("doc", "count")])
+        return pa.table(
+            {
+                "span": g["span"],
+                "occ": g["doc_count"].cast(pa.int64()),
+                "one": pa.array(np.ones(g.num_rows, np.int64)),
+            }
+        )
+
+    both = docs.map_batches(doc_text_rows, batch_format="pyarrow", batch_size=1024).union(
+        cand_pairs.map_batches(pair_side_rows, batch_format="pyarrow")
+    )
+    verified = partitioned_reduce(both, "doc", window_candidates, n_meta=n_meta)
 
     def finalize(t: pa.Table) -> pa.Table:
         g = t.group_by("span").aggregate([("one", "sum"), ("occ", "sum")])

@@ -82,3 +82,39 @@ def test_duplicate_spans_empty_and_validation(ray_session):
         duplicate_spans(empty, w=1)
     with pytest.raises(ValueError):
         duplicate_spans(empty, w=4, min_docs=1)
+    with pytest.raises(ValueError):
+        duplicate_spans(empty, w=4, mode="driver")
+
+
+def test_duplicate_spans_semijoin_matches_broadcast(ray_session):
+    """VERDICT r4 #2: the distributed doc-keyed verify path (no driver
+    candidate array) must be value-identical to the broadcast path, and
+    auto mode must escalate to it past max_broadcast_candidates."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(10)]
+    docs = [(i, " ".join(rng.choice(vocab, rng.integers(3, 40)))) for i in range(120)]
+    for w, min_docs in ((3, 2), (4, 3)):
+        want = _serial(docs, w, min_docs)
+        for kwargs in (
+            {"mode": "semijoin"},
+            {"mode": "auto", "max_broadcast_candidates": 0},  # force escalation
+        ):
+            got = duplicate_spans(
+                _ds(docs, blocks=5), w=w, min_docs=min_docs, **kwargs
+            ).to_pandas()
+            if "span" not in got.columns:
+                assert want == [] and len(got) == 0
+                continue
+            got = got.sort_values("span").reset_index(drop=True)
+            assert (
+                list(
+                    map(tuple, got[["span", "n_docs", "n_occ"]].itertuples(index=False))
+                )
+                == want
+            )
+        assert want, f"w={w},min_docs={min_docs} case is vacuous"
+    # null text and a doc with no candidates survive the semijoin path
+    mixed = [(1, "p q r s t"), (2, "p q r s u"), (3, None), (4, "lonely doc words here")]
+    got = duplicate_spans(_ds(mixed, blocks=2), w=3, mode="semijoin").to_pandas()
+    assert sorted(got["span"]) == ["p q r", "q r s"]
+    assert got["n_docs"].tolist() == [2, 2] and got["n_occ"].tolist() == [2, 2]
