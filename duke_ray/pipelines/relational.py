@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from ..context import join_partitions
 from ..sources import read_table
 
 
@@ -371,7 +372,7 @@ def order_revenue_join(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
     )
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus", "o_custkey"])
     joined = per_order.join(
-        orders, join_type="inner", num_partitions=16, on=("o_orderkey",)
+        orders, join_type="inner", num_partitions=join_partitions(), on=("o_orderkey",)
     )
     top = joined.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(k)
     return top.select_columns(["o_orderkey", "o_custkey", "o_orderstatus", "revenue_cents", "n_lines"])
@@ -791,7 +792,7 @@ def regional_revenue(sf_dir: str, year: int = 1996) -> "ray.data.Dataset":
         )
 
     keys = orders.map_batches(year_filter, batch_format="pyarrow", batch_size=65536)
-    joined = left.join(keys, join_type="inner", num_partitions=16, on=("o_orderkey",))
+    joined = left.join(keys, join_type="inner", num_partitions=join_partitions(), on=("o_orderkey",))
 
     names_ref = ray.put((n_names, n_regions))
 
@@ -941,7 +942,7 @@ def customer_order_profile(sf_dir: str) -> "ray.data.Dataset":
     )
     cust = read_table(sf_dir, "customer", columns=["c_custkey"])
     joined = cust.join(
-        per_cust, join_type="left_outer", num_partitions=16,
+        per_cust, join_type="left_outer", num_partitions=join_partitions(),
         on=("c_custkey",), right_on=("o_custkey",),
     )
 

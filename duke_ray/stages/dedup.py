@@ -1044,8 +1044,10 @@ def keep_best_in_cluster(
     cluster members (both sides scale with the corpus — broadcast is
     wrong), then a cluster-keyed ``partitioned_reduce`` takes the
     per-cluster argmax in one vectorized lexsort pass per partition."""
+    from ..context import join_partitions
+
     joined = clusters.join(
-        scores, join_type="inner", num_partitions=16, on=(id_col,)
+        scores, join_type="inner", num_partitions=join_partitions(), on=(id_col,)
     )
 
     def argmax_partition(t: pa.Table) -> pa.Table:
