@@ -192,6 +192,18 @@ def _runs(sort_keys: list[np.ndarray], boundary_keys: int | None = None) -> tupl
     return order, np.flatnonzero(changed)
 
 
+# Per-bucket all-pairs bound (VERDICT r4 #6): a degenerate LSH bucket
+# (mass-templated pages that survive exact dedup) would otherwise emit
+# O(k^2) pairs in ONE task. Past the cap the emission switches to
+# all-pairs over the first cap docs + a star from the bucket-min doc to
+# every remaining doc — bounded O(cap^2 + k), cluster connectivity
+# preserved exactly (every doc stays candidate-linked to the min doc;
+# docs in one bucket share a full band hash, so star edges verify
+# whenever the all-pairs edges would). Pair-level recall beyond the cap
+# is traded for boundedness and the event is logged with the bucket size.
+_MAX_BUCKET_DOCS = 1024
+
+
 def _bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
     """One meta-group = many LSH buckets: emit distinct candidate doc pairs
     per same-(band,band_hash) run — fixed-width rows only, no signatures."""
@@ -210,6 +222,24 @@ def _bucket_candidates(group: pd.DataFrame) -> pd.DataFrame:
             continue
         uniq = np.unique(docs_[order[s:e]])
         if len(uniq) < 2:
+            continue
+        if len(uniq) > _MAX_BUCKET_DOCS:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "degenerate LSH bucket: %d docs > cap %d; emitting capped "
+                "all-pairs + min-doc star (connectivity exact, pair recall "
+                "capped)",
+                len(uniq),
+                _MAX_BUCKET_DOCS,
+            )
+            head = uniq[:_MAX_BUCKET_DOCS]
+            ia, ib = np.triu_indices(len(head), k=1)
+            out_a.append(head[ia])
+            out_b.append(head[ib])
+            rest = uniq[_MAX_BUCKET_DOCS:]
+            out_a.append(np.full(len(rest), uniq[0], np.int64))
+            out_b.append(rest)
             continue
         ia, ib = np.triu_indices(len(uniq), k=1)
         out_a.append(uniq[ia])
