@@ -563,10 +563,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         per-component projected variance matches its eigenvalue."""
         from duke_ray.stages.embedagg import pca_project as pca
 
-        ds = pca(
-            read_table(sf, "embeddings", columns=["vec_id", "embedding"]), k=8
-        ).materialize()
-        m = pca.last_model
+        ds, m = pca(
+            read_table(sf, "embeddings", columns=["vec_id", "embedding"]),
+            k=8,
+            return_model=True,
+        )
+        ds = ds.materialize()
         w, evals = m["components"], m["eigenvalues"]
         _require(
             bool(np.allclose(w.T @ w, np.eye(w.shape[1]), atol=1e-9)),

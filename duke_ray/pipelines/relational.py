@@ -855,6 +855,17 @@ def rollup_counts(
 
     def partial(batch: pa.Table) -> pa.Table:
         cols = {k: batch[k].cast(pa.string()) for k in key_cols}
+        # Precondition (ADVICE r4): a NULL key or a real key value equal to
+        # the sentinel would collide with rollup subtotal rows — fail loudly
+        # instead of silently merging groups.
+        for k in key_cols:
+            if cols[k].null_count:
+                raise ValueError(f"rollup_counts: key column {k!r} contains NULLs")
+            if pc.any(pc.equal(cols[k], pa.scalar(sentinel))).as_py():
+                raise ValueError(
+                    f"rollup_counts: key column {k!r} contains the sentinel "
+                    f"value {sentinel!r}; pass a different sentinel"
+                )
         cols["n"] = pa.array(np.ones(batch.num_rows, np.int64), pa.int64())
         for src in sums:
             cols[src] = batch[src].cast(pa.int64())

@@ -294,8 +294,14 @@ def gram_matrix(
     def partial(batch: pa.Table) -> pa.Table:
         row, dim, val = _flatten_embeddings(batch, vec_col)
         if len(row) == 0:
+            # ADVICE r4: rows whose embeddings flatten to zero elements
+            # still count toward n_vecs (the SQL oracle's COUNT(*) counts
+            # every row) — emit an empty-Gram partial carrying n.
             return pa.table(
-                {"g": pa.array([], pa.list_(pa.int64())), "n": pa.array([], pa.int64())}
+                {
+                    "g": pa.array([[]], pa.list_(pa.int64())),
+                    "n": pa.array([batch.num_rows], pa.int64()),
+                }
             )
         d = int(dim.max()) + 1
         n = batch.num_rows
@@ -346,7 +352,8 @@ def pca_project(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     quant: int = 1000,
-) -> "ray.data.Dataset":
+    return_model: bool = False,
+):
     """Distributed PCA projection: exact integer second moments
     (:func:`gram_matrix` + per-dim sums) -> driver eigendecomposition of
     the dim x dim covariance (metadata-sized, float64 once) -> broadcast
@@ -361,8 +368,11 @@ def pca_project(
     eigenvector's largest-magnitude entry positive, so the result is
     deterministic at any parallelism.
 
-    Returns a Dataset; the chosen components and eigenvalues are
-    attached as ``pca_project.last_model`` for tests/invariants.
+    Returns the projection Dataset; with ``return_model=True`` returns
+    ``(Dataset, model)`` where model = {"eigenvalues", "components",
+    "mean"} — threaded explicitly to invariant checks instead of shared
+    mutable function-attribute state (ADVICE r4: two concurrent
+    pca_project calls on one driver would race on an attribute).
     """
     import ray
 
@@ -392,7 +402,7 @@ def pca_project(
     flip = np.sign(w[np.argmax(np.abs(w), axis=0), np.arange(w.shape[1])])
     flip[flip == 0] = 1.0
     w = w * flip
-    pca_project.last_model = {"eigenvalues": evals, "components": w, "mean": mean}
+    model = {"eigenvalues": evals, "components": w, "mean": mean}
     w_ref = ray.put((mean, w))
 
     def project(b: pa.Table) -> pa.Table:
@@ -413,4 +423,5 @@ def pca_project(
             }
         )
 
-    return vecs.map_batches(project, batch_format="pyarrow", batch_size=4096)
+    out = vecs.map_batches(project, batch_format="pyarrow", batch_size=4096)
+    return (out, model) if return_model else out

@@ -970,6 +970,21 @@ def cooccurrence(
         n_ab = b["n_ab"].to_numpy(zero_copy_only=False)
         n_a = b["n_a"].to_numpy(zero_copy_only=False)
         n_b = b["n_b"].to_numpy(zero_copy_only=False)
+        # int64 overflow guard (ADVICE r4): enforce the documented 2^63
+        # bound instead of silently wrapping — at ~1e9 tokens with a tiny
+        # vocab, n_ab * total * 1000 approaches 2^63 for frequent pairs.
+        if len(n_ab):
+            lim = (2**63 - 1) // (total * 1000)
+            if n_ab.max() > lim:
+                raise OverflowError(
+                    f"lift_milli would overflow int64: max n_ab {n_ab.max()} "
+                    f"> {lim} at total={total}; rescale counts (or widen to "
+                    "Python-int finalize) before computing lift"
+                )
+            if int(n_a.max()) * int(n_b.max()) > 2**63 - 1:
+                raise OverflowError(
+                    "lift_milli denominator n_a*n_b would overflow int64"
+                )
         lift = (n_ab * total * 1000) // (n_a * n_b)
         return pa.table(
             {

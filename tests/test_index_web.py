@@ -520,8 +520,8 @@ def test_pca_project_matches_serial_numpy(ray_session):
             }
         )
     ).repartition(4)
-    got = pca_project(ds, k=3, quant=1000).to_pandas()
-    m = pca_project.last_model
+    got_ds, m = pca_project(ds, k=3, quant=1000, return_model=True)
+    got = got_ds.to_pandas()
     # serial reference on the same quantized data
     xq = np.floor(x.astype(np.float64) * 1000 + 0.5) / 1000
     mu = xq.mean(axis=0)
@@ -543,3 +543,22 @@ def test_pca_project_matches_serial_numpy(ray_session):
     a = got.sort_values(["vec_id", "comp"]).reset_index(drop=True)
     b = got2.sort_values(["vec_id", "comp"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_gram_matrix_counts_empty_embedding_rows(ray_session):
+    """ADVICE r4: a batch whose embeddings flatten to zero elements must
+    still contribute its row count to n_vecs (SQL COUNT(*) semantics)."""
+    from duke_ray.stages.embedagg import gram_matrix
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 2.0], [], []], pa.list_(pa.float32())
+            ),
+        }
+    )
+    # force the all-empty rows into their own block
+    ds = ray.data.from_arrow(t.slice(0, 1)).union(ray.data.from_arrow(t.slice(1, 2)))
+    g = gram_matrix(ds).to_pandas()
+    assert (g["n_vecs"] == 3).all()
