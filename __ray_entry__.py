@@ -299,6 +299,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["event_value_quantiles"] = event_value_quantiles
 
+    def value_quantiles_sketch(sf):
+        """Mergeable deterministic KLL quantile sketch over events.value —
+        the UNBOUNDED-range continuous-quantile scale path (rows-only:
+        the sketch is approximate by construction). In-query invariants:
+        n equals the exact non-null row count, and every estimate's TRUE
+        rank interval (one exact counting scan, stages/textstats.py:
+        rank_bounds) is within the documented EPS_RANK of its requested
+        quantile."""
+        from duke_ray.functions.kll import EPS_RANK
+        from duke_ray.stages.textstats import rank_bounds, sketch_quantiles
+
+        ev = read_table(sf, "events", columns=["value"])
+        qs = (10, 250, 500, 750, 900, 990)
+        out = sketch_quantiles(ev, "value", qs_milli=qs)
+        est = out["estimate"].to_numpy()
+        lt, le, n = rank_bounds(ev, "value", est)
+        _require(
+            out["n"].to_pylist() == [n] * len(qs), "sketch n != exact row count"
+        )
+        for q_milli, lo, hi in zip(qs, lt, le):
+            err = max(0.0, lo / n - q_milli / 1000.0, q_milli / 1000.0 - hi / n)
+            _require(
+                err <= EPS_RANK,
+                f"sketch rank error {err:.4f} > {EPS_RANK} at q={q_milli}",
+            )
+        return out
+
+    q["value_quantiles_sketch"] = value_quantiles_sketch
+
     def doc_rollup(sf):
         """GROUP BY ROLLUP(lang, source): doc counts + token mass at all
         three levels from one corpus scan; rolled-up keys hold 'ALL'."""

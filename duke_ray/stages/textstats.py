@@ -453,6 +453,108 @@ def int_quantiles(
     )
 
 
+def sketch_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs_milli: tuple[int, ...] = (10, 250, 500, 750, 900, 990),
+    k: int | None = None,
+) -> pa.Table:
+    """APPROXIMATE quantiles over an unbounded-range continuous column ->
+    (q_milli, estimate, n) via a mergeable deterministic KLL sketch
+    (``functions/kll.py``) — the scale path :func:`int_quantiles` cannot
+    cover: its histogram exchange is bounded by the value RANGE, while
+    the sketch state is k*log2(n/k) float64 items regardless of range
+    (adversarial 1e-300..1e300 telemetry included).
+
+    Topology (the r4 kmeans lesson — driver combine for metadata-sized
+    partials): each task builds one sketch over its batch (~tens of KB),
+    the driver merges the partial sketches in CANONICAL order (sorted by
+    content key, so the result is independent of task completion order)
+    and answers every quantile from the merged sketch. NULLs are ignored
+    (SQL aggregate semantics); NaN raises. Guarantee: each estimate's
+    true rank interval comes within ``EPS_RANK`` (1%) of the requested
+    quantile — enforced empirically by the property tests and re-checked
+    on live data by the gate query's in-query invariant."""
+    from ..functions.kll import DEFAULT_K, KLLSketch
+
+    kk = DEFAULT_K if k is None else int(k)
+    for q in qs_milli:
+        if not (0 < q <= 1000):
+            raise ValueError("q_milli must be in (0, 1000]")
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = pc.drop_null(b[col]).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        sk = KLLSketch(kk).update_many(v)
+        return pa.table(
+            {
+                "items": pa.array(
+                    [[lvl.tolist() for lvl in sk.levels]],
+                    pa.list_(pa.list_(pa.float64())),
+                ),
+                "flips": pa.array([list(sk.flips)], pa.list_(pa.int64())),
+                "n": pa.array([sk.n], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    sketches = []
+    for _, row in parts.iterrows():
+        sk = KLLSketch(kk)
+        sk.levels = [np.asarray(lvl, np.float64) for lvl in row["items"]]
+        sk.flips = [int(f) for f in row["flips"]]
+        sk.n = int(row["n"])
+        sketches.append(sk)
+    sketches.sort(key=lambda s: s.canonical_key())
+    merged = KLLSketch(kk)
+    for s in sketches:
+        merged.merge(s)
+    if merged.n == 0:
+        return pa.table(
+            {
+                "q_milli": pa.array([], pa.int64()),
+                "estimate": pa.array([], pa.float64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    ests = merged.quantiles([q / 1000.0 for q in qs_milli])
+    return pa.table(
+        {
+            "q_milli": pa.array(list(qs_milli), pa.int64()),
+            "estimate": pa.array(ests, pa.float64()),
+            "n": pa.array([merged.n] * len(qs_milli), pa.int64()),
+        }
+    )
+
+
+def rank_bounds(
+    ds: "ray.data.Dataset", col: str, estimates: "np.ndarray"
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Exact (rank_lt, rank_le, n) of each estimate over ``col`` in ONE
+    corpus scan (vectorized per-batch counts + driver sum) — the live
+    rank-error invariant check for :func:`sketch_quantiles`."""
+    est = np.asarray(estimates, np.float64)
+
+    def counts(b: pa.Table) -> pa.Table:
+        v = pc.drop_null(b[col]).cast(pa.float64()).to_numpy(zero_copy_only=False)
+        vs = np.sort(v)
+        lt = np.searchsorted(vs, est, side="left")
+        le = np.searchsorted(vs, est, side="right")
+        return pa.table(
+            {
+                "lt": pa.array([lt.tolist()], pa.list_(pa.int64())),
+                "le": pa.array([le.tolist()], pa.list_(pa.int64())),
+                "n": pa.array([len(v)], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(counts, batch_format="pyarrow", batch_size=65536).to_pandas()
+    if not len(parts):
+        return np.zeros(len(est), np.int64), np.zeros(len(est), np.int64), 0
+    lt = np.sum([np.asarray(r, np.int64) for r in parts["lt"]], axis=0)
+    le = np.sum([np.asarray(r, np.int64) for r in parts["le"]], axis=0)
+    return lt, le, int(parts["n"].sum())
+
+
 def doc_top_terms_batch(
     batch: pa.Table, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:
