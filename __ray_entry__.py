@@ -620,6 +620,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pca_project"] = pca_project
 
+    def ppmi_pca(sf):
+        """Count-based word embeddings end-to-end (rows-only: driver
+        eigensolve): cooccurrence -> PPMI milli weighting -> distributed
+        PCA. In-query invariants: (a) no vec_id hash collision (every
+        token keeps its own vector row); (b) spot-check — sampled PPMI
+        vector entries recompute exactly from the ORACLED cooccurrence
+        pairs table; (c) PCA components orthonormal with descending
+        eigenvalues; (d) every pair token got a projection row."""
+        from duke_ray.stages.wordvec import _ppmi_milli, ppmi_pca as pp
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+        proj, model = pp(
+            docs, k=4, window=4, min_count=3, n_context=32, return_model=True
+        )
+        proj = proj.materialize()
+        vecs = model["vectors"].to_pandas()
+        _require(
+            vecs["vec_id"].nunique() == len(vecs), "vec_id fnv collision"
+        )
+        w, evals = model["components"], model["eigenvalues"]
+        _require(
+            bool(np.allclose(w.T @ w, np.eye(w.shape[1]), atol=1e-9)),
+            "PCA components not orthonormal",
+        )
+        _require(
+            bool(np.all(np.diff(evals) <= 1e-12)), "eigenvalues not descending"
+        )
+        # spot-check vector entries against the oracled pairs table
+        from duke_ray.stages.textstats import cooccurrence
+        from duke_ray.stages.wordvec import context_vocab
+
+        pairs_ds = cooccurrence(docs, window=4, min_count=3).materialize()
+        pairs = pairs_ds.to_pandas()
+        ctx = context_vocab(pairs_ds, n_context=32)
+        dim = {t: i for i, t in enumerate(ctx)}
+        vm = vecs.set_index("token")["embedding"]
+        checked = 0
+        for r in pairs.sort_values(["tok_a", "tok_b"]).head(25).itertuples():
+            want = _ppmi_milli(np.array([r.lift_milli], np.int64))[0] / 1000.0
+            if r.tok_b in dim:
+                _require(
+                    float(vm[r.tok_a][dim[r.tok_b]]) == want, "PPMI entry mismatch"
+                )
+                checked += 1
+            if r.tok_a in dim:
+                _require(
+                    float(vm[r.tok_b][dim[r.tok_a]]) == want, "PPMI entry mismatch"
+                )
+                checked += 1
+        _require(checked > 0, "spot-check vacuous: no pair hit the context vocab")
+        n_tokens = len(set(pairs["tok_a"]) | set(pairs["tok_b"]))
+        _require(
+            proj.count() == n_tokens * 4, "projection rows != tokens * k"
+        )
+        return proj
+
+    q["ppmi_pca"] = ppmi_pca
+
     def compression_stats(sf):
         """zlib compressibility quality signal (rows-only: no zlib in
         SQL). In-query invariants: one row per doc; ratios bounded; an
