@@ -146,9 +146,20 @@ def test_media_decode_plumbing(ray_session):
     assert fa == fb
 
 
-def test_media_real_backend_is_stubbed():
+def test_media_real_backend_unsupported_mime():
+    # real backend constructs (stdlib codecs always available); mimes
+    # needing absent optional libs raise at the decode call site
+    actor = DecodeFeaturesActor(backend="real")
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present: jpeg decodes via the optional path")
+    except ImportError:
+        pass
     with pytest.raises(NotImplementedError):
-        DecodeFeaturesActor(backend="real")
+        actor._real_features(b"\xff\xd8\xff\xe0fakejpeg", "image/jpeg")
+    with pytest.raises(ValueError):
+        DecodeFeaturesActor(backend="bogus")
 
 
 def test_frame_sampling(ray_session):
