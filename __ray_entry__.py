@@ -678,6 +678,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["ppmi_pca"] = ppmi_pca
 
+    def lm_predictability(sf):
+        """Add-one-smoothed bigram-LM self-scoring (stages/lm.py): one
+        salted attach exchange ships each bigram occurrence once; integer
+        milli contributions make the distributed sum hash-match SQL."""
+        from duke_ray.stages.lm import lm_score
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+        return lm_score(docs)
+
+    q["lm_predictability"] = lm_predictability
+
+    def lm_predictability_heldout(sf):
+        """Held-out variant: train on even doc_ids, score the odd ones —
+        unseen bigrams/unigrams exercise the smoothing fallback."""
+        import pyarrow.compute as _pc
+
+        from duke_ray.stages.lm import lm_score
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+        train = docs.map_batches(
+            lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 0)),
+            batch_format="pyarrow",
+        )
+        probe = docs.map_batches(
+            lambda b: b.filter(_pc.equal(_pc.bit_wise_and(b["doc_id"], 1), 1)),
+            batch_format="pyarrow",
+        )
+        return lm_score(probe, train=train)
+
+    q["lm_predictability_heldout"] = lm_predictability_heldout
+
+    def lm_surprisal_filter(sf):
+        """Perplexity-style quality filter (rows-only: ln not
+        SQL-hashable). In-query invariants: (a) per-doc surprisal
+        recomputes exactly for a sample from the ORACLED count tables;
+        (b) every kept doc is at or below the threshold and avg =
+        floor(total / n); (c) every probe doc has a score row."""
+        from collections import Counter
+
+        from duke_ray.stages.lm import lm_score, perplexity_filter
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+        thresh = 12_000_000
+        kept = perplexity_filter(docs, max_avg_surprisal_micro=thresh).materialize()
+        df = kept.to_pandas()
+        _require(
+            bool((df["avg_surprisal_micro"] <= thresh).all()), "kept doc over threshold"
+        )
+        _require(
+            bool((df["surprisal_micro"] // df["n_bigrams"] == df["avg_surprisal_micro"]).all()),
+            "avg != floor(total/n)",
+        )
+        # exact sample recomputation from first principles
+        sample = read_table(sf, "documents", columns=["doc_id", "text"]).take(400)
+        scores = {
+            int(r["doc_id"]): (int(r["n_bigrams"]), int(r["surprisal_micro"]))
+            for r in lm_score(docs, log_space=True).take_all()
+        }
+        uni, big = Counter(), Counter()
+        texts = {}
+        for r in read_table(sf, "documents", columns=["doc_id", "text"]).take_all():
+            toks = (r["text"] or "").split(" ")
+            texts[int(r["doc_id"])] = toks
+            uni.update(toks)
+            big.update(zip(toks, toks[1:]))
+        V = len(uni)
+        checked = 0
+        for r in sample[:50]:
+            did = int(r["doc_id"])
+            toks = texts[did]
+            n = max(0, len(toks) - 1)
+            s = int(
+                sum(
+                    int(np.floor(-1_000_000.0 * np.log((big[(a, b)] + 1.0) / (uni[a] + float(V)))))
+                    for a, b in zip(toks, toks[1:])
+                )
+            )
+            _require(scores[did] == (n, s), f"surprisal mismatch doc {did}")
+            checked += 1
+        _require(checked >= 50, "spot-check vacuous")
+        _require(len(scores) == len(texts), "a doc lost its score row")
+        return kept
+
+    q["lm_surprisal_filter"] = lm_surprisal_filter
+
     def compression_stats(sf):
         """zlib compressibility quality signal (rows-only: no zlib in
         SQL). In-query invariants: one row per doc; ratios bounded; an
@@ -1781,6 +1866,73 @@ spans AS (SELECT doc_id, array_to_string(list_slice(t, i, i + 7), ' ') AS span F
 SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS n_occ
 FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+    sql["lm_predictability"] = f"""
+WITH {_TOKS_CTE},
+uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vs FROM uni),
+big AS (
+  SELECT t1.doc_id, t1.tok AS ta, t2.tok AS tb
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+),
+bc AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS c_ab FROM big GROUP BY ta, tb),
+contrib AS (
+  SELECT big.doc_id,
+         (1000 * (bc.c_ab + 1)) // (u.c + (SELECT vs FROM v)) AS per
+  FROM big JOIN bc ON big.ta = bc.ta AND big.tb = bc.tb
+           JOIN uni u ON u.tok = big.ta
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(per) AS BIGINT) AS s
+  FROM contrib GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(agg.s, 0) AS BIGINT) AS score_milli
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+    sql["lm_predictability_heldout"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+uni AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+  WHERE doc_id % 2 = 0 GROUP BY tok
+),
+v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vs FROM uni),
+big AS (
+  SELECT t1.doc_id, t1.tok AS ta, t2.tok AS tb
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.doc_id % 2 = 0
+),
+bc AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS c_ab FROM big GROUP BY ta, tb),
+probe_big AS (
+  SELECT t1.doc_id, t1.tok AS ta, t2.tok AS tb
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  WHERE t1.doc_id % 2 = 1
+),
+contrib AS (
+  SELECT p.doc_id,
+         (1000 * (COALESCE(bc.c_ab, 0) + 1))
+           // (COALESCE(u.c, 0) + (SELECT vs FROM v)) AS per
+  FROM probe_big p
+  LEFT JOIN bc ON p.ta = bc.ta AND p.tb = bc.tb
+  LEFT JOIN uni u ON u.tok = p.ta
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(per) AS BIGINT) AS s
+  FROM contrib GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(agg.s, 0) AS BIGINT) AS score_milli
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+WHERE d.doc_id % 2 = 1
 """
 
     # url_dedup: replay the engine's RE2 canonicalization chain verbatim
