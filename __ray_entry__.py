@@ -763,6 +763,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["lm_surprisal_filter"] = lm_surprisal_filter
 
+    def events_profile(sf):
+        """One-scan per-column table profile (stages/profile.py): exact
+        count/null/min/max/sum stats per dtype class — ints raw, floats
+        milli-quantized, timestamps epoch-us, strings bytewise+length."""
+        from duke_ray.stages.profile import table_profile
+
+        return table_profile(read_table(sf, "events"))
+
+    q["events_profile"] = events_profile
+
     def compression_stats(sf):
         """zlib compressibility quality signal (rows-only: no zlib in
         SQL). In-query invariants: one row per doc; ratios bounded; an
@@ -1933,6 +1943,39 @@ SELECT d.doc_id,
        CAST(COALESCE(agg.s, 0) AS BIGINT) AS score_milli
 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
 WHERE d.doc_id % 2 = 1
+"""
+
+    sql["events_profile"] = """
+SELECT 'event_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+  CAST(MIN(event_id) AS BIGINT) AS min_int,
+  CAST(MAX(event_id) AS BIGINT) AS max_int,
+  CAST(SUM(event_id) AS BIGINT) AS sum_int,
+  '' AS min_str, '' AS max_str, CAST(0 AS BIGINT) AS total_len
+FROM events
+UNION ALL
+SELECT 'ts', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+  CAST(epoch_us(MIN(ts)) AS BIGINT), CAST(epoch_us(MAX(ts)) AS BIGINT),
+  CAST(0 AS BIGINT), '', '', CAST(0 AS BIGINT) FROM events
+UNION ALL
+SELECT 'user_id', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+  CAST(MIN(user_id) AS BIGINT), CAST(MAX(user_id) AS BIGINT),
+  CAST(SUM(user_id) AS BIGINT), '', '', CAST(0 AS BIGINT) FROM events
+UNION ALL
+SELECT 'event_type', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+  MIN(event_type), MAX(event_type),
+  CAST(SUM(LENGTH(event_type)) AS BIGINT) FROM events
+UNION ALL
+SELECT 'value', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(value) AS BIGINT),
+  CAST(MIN(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT),
+  CAST(MAX(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT),
+  CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT),
+  '', '', CAST(0 AS BIGINT) FROM events
+UNION ALL
+SELECT 'props', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(props) AS BIGINT),
+  CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+  MIN(props), MAX(props), CAST(SUM(LENGTH(props)) AS BIGINT) FROM events
 """
 
     # url_dedup: replay the engine's RE2 canonicalization chain verbatim
