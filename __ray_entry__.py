@@ -773,6 +773,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["events_profile"] = events_profile
 
+    def bpe_tokenize(sf):
+        """Distributed BPE tokenizer training + corpus encoding
+        (stages/bpe.py; rows-only — iterative merge training is not
+        SQL-expressible; the trainer is unit-tested against an
+        independent scalar reference). In-query invariants: (a) a sample
+        of per-doc encoded lengths recomputes exactly via the scalar
+        greedy encoder on raw text; (b) per-doc bounds n_words <=
+        n_bpe_tokens <= n_chars + n_words hold corpus-wide (empty-token
+        words excluded from the lower bound); (c) every doc has a row;
+        (d) the merges actually compress (total encoded symbols <
+        character-level total)."""
+        from duke_ray.stages.bpe import bpe_encode, bpe_train, encode_word
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+        merges = bpe_train(docs, n_merges=24, n_meta=32, n_blocks=8)
+        _require(len(merges) == 24, "training stopped early on this corpus")
+        enc = bpe_encode(docs, merges).materialize()
+        df = enc.to_pandas()
+        docs_pd = {
+            int(r["doc_id"]): r["text"]
+            for r in read_table(sf, "documents", columns=["doc_id", "text"]).take_all()
+        }
+        _require(len(df) == len(docs_pd), "a doc lost its encoding row")
+        _require(
+            bool((df["n_bpe_tokens"] <= df["n_chars"] + df["n_words"]).all()),
+            "encoding longer than character level",
+        )
+        char_total = int((df["n_chars"] + df["n_words"]).sum())
+        _require(int(df["n_bpe_tokens"].sum()) < char_total, "merges compressed nothing")
+        ranks = {m: i for i, m in enumerate(merges)}
+        checked = 0
+        by_id = df.set_index("doc_id")
+        for did in sorted(docs_pd)[:60]:
+            toks = (docs_pd[did] or "").split(" ")
+            want = sum(len(encode_word(w, ranks)) if w else 0 for w in toks)
+            _require(
+                int(by_id.loc[did, "n_bpe_tokens"]) == want,
+                f"encoded length mismatch doc {did}",
+            )
+            checked += 1
+        _require(checked >= 60, "spot-check vacuous")
+        return enc
+
+    q["bpe_tokenize"] = bpe_tokenize
+
     def compression_stats(sf):
         """zlib compressibility quality signal (rows-only: no zlib in
         SQL). In-query invariants: one row per doc; ratios bounded; an
