@@ -27,21 +27,26 @@ of EVERY bigram occurrence, so the occurrence stream is corpus-linear
 and cannot be pre-filtered (unlike cooccurrence's output-bounded
 attach). The design ships it through exactly ONE attach exchange:
 
-1. One scan of the TRAIN corpus emits per-batch count partials —
-   unigram (token, c) and bigram (ta, tb, c) — both batch-vocab-sized
-   under Zipf.
+1. The unigram count table (``term_frequencies``, already an oracled
+   exchange) is materialized once and reused twice: its row count is V,
+   and its vocab-scale rows feed the attach exchange replicated to all
+   S salts.
 2. One scan of the PROBE corpus emits per-batch-combined occurrence
    rows (doc_id, ta, tb, k).
 3. A single exchange keyed by (ta, salt) where salt = hash(tb) % S:
-   bigram partials and occurrences of the same (ta, tb) co-locate;
-   unigram partials are replicated to all S salts (vocab x S rows —
-   small next to the corpus-linear side). Salting bounds hot-first-token
-   skew ("the" as ta) to 1/S of the token's mass per partition.
-   In-partition: sum partials, then two vectorized C++ hash joins
-   (pyarrow Table.join) attach c_ab and c_a to the occurrences.
+   all occurrences of a bigram co-locate, so for SELF-scoring c_ab is
+   derived inside the partition from the occurrence rows themselves —
+   no separate bigram-count pass or rows at all. (Held-out scoring
+   unions in kind-'b' bigram partials from one train scan.) Salting
+   bounds hot-first-token skew ("the" as ta) to 1/S of the token's
+   mass per partition. In-partition: sum partials, then two vectorized
+   C++ hash joins (pyarrow Table.join) attach c_ab and c_a.
 4. One doc-keyed grouped_sum folds per-occurrence contributions into
    per-document scores; a baseline row per probe doc keeps zero-bigram
    documents present.
+
+Self-scoring therefore touches the corpus exactly twice (unigram
+exchange + occurrence scan) and ships each bigram occurrence once.
 
 Train defaults to the probe corpus (self-scoring — the gate query);
 passing a separate train set gives held-out scoring (the contamination
@@ -61,17 +66,40 @@ from ..text import fnv1a64_arrow
 from .tokens import FlatTokens
 
 
-def _train_partials(train: "ray.data.Dataset", text_col: str, n_salt: int):
-    """kind-tagged count partials: ('u', tok, '', c) replicated per salt,
-    ('b', ta, tb, c) at salt hash(tb) % n_salt."""
+def _unigram_side(uni_counts: "ray.data.Dataset", n_salt: int):
+    """already-aggregated (token, n) unigram table -> kind-'u' rows
+    replicated to every salt (vocab x S rows — small next to the
+    corpus-linear occurrence stream)."""
+
+    def rep(b: pa.Table) -> pa.Table:
+        u_ta = b["token"].combine_chunks()
+        u_c = b["n"].cast(pa.int64()).combine_chunks()
+        nu = len(u_ta)
+        return pa.table(
+            {
+                "kind": pa.array(["u"] * (nu * n_salt), pa.string()),
+                "ta": pa.concat_arrays([u_ta] * n_salt),
+                "tb": pa.nulls(nu * n_salt, pa.string()),
+                "salt": pa.array(
+                    np.repeat(np.arange(n_salt, dtype=np.int32), nu), pa.int32()
+                ),
+                "doc_id": pa.nulls(nu * n_salt, pa.int64()),
+                "k": pa.concat_arrays([u_c] * n_salt),
+            }
+        )
+
+    return uni_counts.map_batches(rep, batch_format="pyarrow", batch_size=65536)
+
+
+def _bigram_partials(train: "ray.data.Dataset", text_col: str, n_salt: int):
+    """kind-'b' global bigram count partials, routed by (ta, salt(tb)) —
+    only needed for HELD-OUT scoring; self-scoring derives c_ab from the
+    occurrence rows inside the partition."""
 
     def partial(batch: pa.Table) -> pa.Table:
         flat = FlatTokens.from_text(batch[text_col])
         toks = flat.tokens
         n = len(toks)
-        ug = pa.table({"ta": toks}).group_by("ta").aggregate([("ta", "count")])
-        u_ta = ug["ta"].combine_chunks()
-        u_c = ug["ta_count"].cast(pa.int64()).combine_chunks()
         if n >= 2:
             same = pa.array(flat.row[1:] == flat.row[:-1])
             first = toks.slice(0, n - 1).filter(same)
@@ -90,22 +118,14 @@ def _train_partials(train: "ray.data.Dataset", text_col: str, n_salt: int):
         b_salt = (
             fnv1a64_arrow(b_tb) % np.uint64(n_salt)
         ).astype(np.int32) if len(b_tb) else np.array([], np.int32)
-        nu = len(u_ta)
         return pa.table(
             {
-                "kind": pa.array(["u"] * (nu * n_salt) + ["b"] * len(b_ta), pa.string()),
-                "ta": pa.concat_arrays([u_ta] * n_salt + [b_ta]),
-                "tb": pa.concat_arrays(
-                    [pa.nulls(nu * n_salt, pa.string()), b_tb]
-                ),
-                "salt": pa.array(
-                    np.concatenate(
-                        [np.repeat(np.arange(n_salt, dtype=np.int32), nu), b_salt]
-                    ),
-                    pa.int32(),
-                ),
-                "doc_id": pa.nulls(nu * n_salt + len(b_ta), pa.int64()),
-                "k": pa.concat_arrays([u_c] * n_salt + [b_c]),
+                "kind": pa.array(["b"] * len(b_ta), pa.string()),
+                "ta": b_ta,
+                "tb": b_tb,
+                "salt": pa.array(b_salt, pa.int32()),
+                "doc_id": pa.nulls(len(b_ta), pa.int64()),
+                "k": b_c,
             }
         )
 
@@ -181,15 +201,21 @@ def lm_score(
     self_scoring = train is None
     train_ds = probe if self_scoring else train
 
-    # V = training vocabulary size. A count over the oracled
-    # term_frequencies exchange (vocab-scale, not corpus-scale).
+    # the unigram table is materialized once and reused twice: its row
+    # count IS the vocabulary size, and its rows feed the attach
+    # exchange's unigram side (vocab-scale, not corpus-scale).
     from .textstats import term_frequencies
 
-    vocab_size = int(term_frequencies(train_ds, text_col=text_col).count())
+    uni_counts = term_frequencies(train_ds, text_col=text_col).materialize()
+    vocab_size = int(uni_counts.count())
 
-    partials = _train_partials(train_ds, text_col, n_salt)
     occurrences = _probe_occurrences(probe, id_col, text_col, n_salt)
-    tagged = partials.union(occurrences)
+    tagged = _unigram_side(uni_counts, n_salt).union(occurrences)
+    if not self_scoring:
+        # held-out: global bigram counts come from a separate train scan.
+        # Self-scoring skips this entirely — every occurrence of a bigram
+        # lands in the same partition, so c_ab is derivable there.
+        tagged = tagged.union(_bigram_partials(train_ds, text_col, n_salt))
 
     def attach_partition(t: pa.Table) -> pa.Table:
         kind = t["kind"]
@@ -202,13 +228,21 @@ def lm_score(
                     "s": pa.array([], pa.int64()),
                 }
             )
-        bp = t.filter(pc.equal(kind, "b"))
+        if self_scoring:
+            # c_ab = sum of per-doc occurrence counts within the partition
+            bc = (
+                occ.select(["ta", "tb", "k"])
+                .group_by(["ta", "tb"])
+                .aggregate([("k", "sum")])
+            )
+        else:
+            bp = t.filter(pc.equal(kind, "b"))
+            bc = (
+                bp.select(["ta", "tb", "k"])
+                .group_by(["ta", "tb"])
+                .aggregate([("k", "sum")])
+            )
         up = t.filter(pc.equal(kind, "u"))
-        bc = (
-            bp.select(["ta", "tb", "k"])
-            .group_by(["ta", "tb"])
-            .aggregate([("k", "sum")])
-        )
         uc = up.select(["ta", "k"]).group_by("ta").aggregate([("k", "sum")])
         o = occ.select(["doc_id", "ta", "tb", "k"]).combine_chunks()
         o = o.join(
