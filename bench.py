@@ -381,13 +381,77 @@ def run_endurance() -> dict:
     assert int(boiler_rows["n_docs"].iloc[0]) == expected_boiler
     assert int(boiler_rows["n_occ"].iloc[0]) == expected_boiler
 
+    # free the held spans materialization before the heaviest leg: its
+    # spilled blocks (plus this session's accumulated spill) cost the
+    # cooccurrence leg its disk budget at 10M (two OutOfDiskError runs)
+    del spans, boiler_rows
+
     # windowed co-occurrence: the pair-partials exchange carries up to
     # window x corpus-tokens distinct string keys — the pair analog of the
-    # index/spans legs. A 2-token tail is planted on every doc_id % 8 == 0
-    # row; both tokens are outside the synthetic vocab, so the planted
-    # pair's n_ab, n_a and n_b all equal the planted row count EXACTLY.
+    # index/spans legs, and the largest SPILL in the suite (~"50% of
+    # disk" standalone at 10M). It runs in a FRESH SUBPROCESS: the
+    # documented fresh-session-per-op protocol (session aging + isolated
+    # spill that the OS reclaims at process exit). In-process after the
+    # five legs above, the 10M run exceeds the node's disk twice over.
+    import subprocess as _sp
+
+    env = dict(
+        os.environ,
+        PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
+        RAY_GRAFT_CPUS=str(NUM_CPUS),
+        GRAFT_REPLICAS=str(REPLICAS),
+        GRAFT_SF_DIR=SF_DIR,
+    )
+    r = _sp.run(
+        [sys.executable, os.path.abspath(__file__), "--cooc-leg"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    leg = json.loads(r.stdout.strip().splitlines()[-1])
+    timings["cooccurrence"] = leg["sec"]
+    stats["cooccurrence"] = leg["stats"]
+
+    total = sum(timings.values())
+    result = {
+        "metric": "dedup_endurance_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "stats": stats,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "replicas": REPLICAS,
+        "n_rows": n_rows,
+        "rows_per_sec": round(4 * n_rows / total, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_cooc_leg() -> dict:
+    """The endurance suite's co-occurrence leg, in its own Ray session
+    (invoked as a subprocess by run_endurance — see the note there).
+    A 2-token tail is planted on every doc_id % 8 == 0 row; both tokens
+    are outside the synthetic vocab, so the planted pair's n_ab, n_a and
+    n_b all equal the planted row count EXACTLY."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR", ignore_reinit_error=True)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from duke_ray.context import reserve_memory_for
+    from duke_ray.sources import documents_row_count, read_documents_varied
     from duke_ray.stages.textstats import cooccurrence
 
+    n_docs = documents_row_count(SF_DIR)
+    n_rows = n_docs * REPLICAS
     _PTOK_A, _PTOK_B = "zqxalpha", "zqxbeta"
 
     def _with_pair(b: pa.Table) -> pa.Table:
@@ -413,7 +477,7 @@ def run_endurance() -> dict:
         reserve_memory_for(corpus3)
     mc = 100 if n_rows > 100_000 else 3
     cooc = cooccurrence(corpus3, window=4, min_count=mc).materialize()
-    timings["cooccurrence"] = round(time.time() - t0, 3)
+    sec = round(time.time() - t0, 3)
     planted = cooc.map_batches(
         lambda b: b.filter(
             pa.compute.and_(
@@ -427,7 +491,7 @@ def run_endurance() -> dict:
     expected_pair = int(
         sum(int(((base_ids + r * n_docs) % 8 == 0).sum()) for r in range(REPLICAS))
     )
-    stats["cooccurrence"] = {
+    stats = {
         "n_pairs": cooc.count(),
         "planted_n_ab": int(planted["n_ab"].iloc[0]) if len(planted) else 0,
         "expected": expected_pair,
@@ -435,23 +499,9 @@ def run_endurance() -> dict:
     }
     assert len(planted) == 1, "planted co-occurrence pair missing"
     for c in ("n_ab", "n_a", "n_b"):
-        assert int(planted[c].iloc[0]) == expected_pair, (c, stats["cooccurrence"])
-
-    total = sum(timings.values())
-    result = {
-        "metric": "dedup_endurance_sec",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
-        "stats": stats,
-        "sf": SF_DIR,
-        "num_cpus": NUM_CPUS,
-        "replicas": REPLICAS,
-        "n_rows": n_rows,
-        "rows_per_sec": round(4 * n_rows / total, 1),
-    }
+        assert int(planted[c].iloc[0]) == expected_pair, (c, stats)
     ray.shutdown()
-    return result
+    return {"sec": sec, "stats": stats}
 
 
 def run_scaling() -> dict:
@@ -515,5 +565,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif "--endurance" in sys.argv:
         print(json.dumps(run_endurance()))
+    elif "--cooc-leg" in sys.argv:
+        print(json.dumps(run_cooc_leg()))
     else:
         print(json.dumps(run_bench()))
