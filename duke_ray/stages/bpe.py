@@ -38,6 +38,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+_ENCODE_CACHE: dict = {}  # per-process encode memo, keyed by merge-list ref
+
 END = "▁"  # end-of-word sentinel symbol (assumed absent from corpus
 # text — the corpus normal form is ASCII; a literal ▁ would merely blur
 # into the sentinel, never crash)
@@ -231,12 +233,16 @@ def bpe_encode(
     def per_batch(batch: pa.Table) -> pa.Table:
         from .tokens import FlatTokens
 
-        cache = per_batch.__dict__.setdefault("cache", {})
-        if "ranks" not in per_batch.__dict__:
-            per_batch.ranks = {
-                tuple(m): i for i, m in enumerate(ray.get(merges_ref))
-            }
-        ranks = per_batch.ranks
+        # PROCESS-local memo (module global): a function attribute would
+        # be rebuilt per task (cloudpickle re-instantiates the closure),
+        # while worker processes persist across tasks.
+        key = merges_ref.hex()
+        state = _ENCODE_CACHE.setdefault(key, {})
+        if "ranks" not in state:
+            state["ranks"] = {tuple(m): i for i, m in enumerate(ray.get(merges_ref))}
+            state["lens"] = {}
+        ranks = state["ranks"]
+        cache = state["lens"]
         flat = FlatTokens.from_text(batch[text_col])
         toks = flat.tokens.to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(toks, return_inverse=True)
