@@ -391,10 +391,15 @@ def run_endurance() -> dict:
     # index/spans legs, and the largest SPILL in the suite (~"50% of
     # disk" standalone at 10M). It runs in a FRESH SUBPROCESS: the
     # documented fresh-session-per-op protocol (session aging + isolated
-    # spill that the OS reclaims at process exit). In-process after the
-    # five legs above, the 10M run exceeds the node's disk twice over.
+    # spill that the OS reclaims at process exit). The PARENT session
+    # shuts down FIRST: cooccurrence is the last leg, the parent needs no
+    # Ray afterward, and the raylet only deletes this session's spill
+    # files at shutdown — `del spans` alone left ~30 GB of session spill
+    # pinning the disk this host's ~90 GB usable budget can't spare (a
+    # third 10M OutOfDiskError run proved it).
     import subprocess as _sp
 
+    ray.shutdown()
     env = dict(
         os.environ,
         PYTHONPATH=os.path.dirname(os.path.abspath(__file__)),
@@ -407,8 +412,12 @@ def run_endurance() -> dict:
         env=env,
         capture_output=True,
         text=True,
-        check=True,
     )
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"cooc leg failed (exit {r.returncode}); stderr tail:\n"
+            + "\n".join(r.stderr.strip().splitlines()[-15:])
+        )
     leg = json.loads(r.stdout.strip().splitlines()[-1])
     timings["cooccurrence"] = leg["sec"]
     stats["cooccurrence"] = leg["stats"]
