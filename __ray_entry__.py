@@ -1649,6 +1649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- relational coverage ----------------------------------------------
     q["pricing_summary"] = rel.pricing_summary
     q["order_revenue_join"] = rel.order_revenue_join
+    q["top_orders_per_customer"] = rel.top_orders_per_customer
+    q["promo_revenue"] = rel.promo_revenue
     q["regional_revenue"] = rel.regional_revenue
     q["customer_order_profile"] = rel.customer_order_profile
     q["user_running_values"] = rel.user_running_values
@@ -2835,6 +2837,8 @@ LATERAL (SELECT unnest(generate_series(
 
     sql["pricing_summary"] = rel.PRICING_SUMMARY_SQL
     sql["order_revenue_join"] = rel.order_revenue_join_sql()
+    sql["top_orders_per_customer"] = rel.top_orders_per_customer_sql()
+    sql["promo_revenue"] = rel.PROMO_REVENUE_SQL
     sql["regional_revenue"] = rel.regional_revenue_sql()
     sql["customer_order_profile"] = rel.CUSTOMER_ORDER_PROFILE_SQL
     sql["user_running_values"] = rel.USER_RUNNING_VALUES_SQL

@@ -977,3 +977,140 @@ SELECT c.c_custkey,
 FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
 GROUP BY c.c_custkey
 """
+
+
+# per-group top-k by value (ROW_NUMBER selection) ------------------------------
+
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Top-``k`` orders per customer by order value — the distributed
+    ROW_NUMBER() selection (stages/ranking.py:group_topk): each batch keeps
+    ≤k candidates per customer, one hash exchange finalizes. Customer
+    cardinality scales with the corpus; nothing touches the driver."""
+    from ..stages.ranking import group_topk
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "total_cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    ds = orders.map_batches(to_cents, batch_format="pyarrow", batch_size=65536)
+    return group_topk(ds, "o_custkey", "total_cents", k=k, tie_col="o_orderkey")
+
+
+def top_orders_per_customer_sql(k: int = 3) -> str:
+    return f"""
+SELECT o_custkey, o_orderkey, total_cents, rk FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC, o_orderkey
+         ) AS rk
+  FROM orders
+) WHERE rk <= {k}
+"""
+
+
+# Q14-shaped conditional-aggregate join ---------------------------------------
+
+def promo_revenue(sf_dir: str) -> "pd.DataFrame":
+    """Share of revenue from PROMO-type parts (TPC-H Q14 shape): lineitem
+    revenue is pre-aggregated per part key (partitioned_reduce — part-key
+    cardinality scales with the catalog), the part side attaches inside the
+    same hash exchange (kind-tagged union rows; pa.Table.join per partition
+    is fine because downstream is a global sum — CLAUDE.md r5 note), and
+    each partition emits ONE (promo_cents, total_cents) partial row —
+    metadata-sized regardless of corpus. Driver combines ≤n_meta rows.
+    Integer cents + milli ratio so the driver value-hash is exact."""
+    import pandas as pd
+
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table(
+            {
+                "partkey": batch["l_partkey"].cast(pa.int64()),
+                "cents": _cents(rev),
+            }
+        )
+        g = t.group_by("partkey").aggregate([("cents", "sum")])
+        return pa.table({"partkey": g["partkey"], "cents": g["cents_sum"]})
+
+    per_part = grouped_sum(
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536),
+        "partkey",
+        {"cents": "cents"},
+    )
+
+    def tag_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "partkey": b["partkey"],
+                "cents": b["cents"],
+                "promo": pa.nulls(b.num_rows, pa.int64()),
+                "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def tag_part(b: pa.Table) -> pa.Table:
+        promo = pc.cast(pc.equal(b["p_type"], pa.scalar("PROMO")), pa.int64())
+        return pa.table(
+            {
+                "partkey": b["p_partkey"].cast(pa.int64()),
+                "cents": pa.nulls(b.num_rows, pa.int64()),
+                "promo": promo,
+                "kind": pa.array(np.ones(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    both = per_part.map_batches(tag_cents, batch_format="pyarrow").union(
+        part.map_batches(tag_part, batch_format="pyarrow")
+    )
+
+    def attach_sum(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        cents_side = t.filter(pa.array(kind == 0)).select(["partkey", "cents"])
+        part_side = t.filter(pa.array(kind == 1)).select(["partkey", "promo"])
+        j = cents_side.join(part_side, keys="partkey", join_type="inner")
+        c = j["cents"].to_numpy(zero_copy_only=False)
+        p = j["promo"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "promo_cents": pa.array([int((c * p).sum())], pa.int64()),
+                "total_cents": pa.array([int(c.sum())], pa.int64()),
+            }
+        )
+
+    partials = partitioned_reduce(both, "partkey", attach_sum).take_all()
+    promo_c = sum(r["promo_cents"] for r in partials)
+    total_c = sum(r["total_cents"] for r in partials)
+    return pd.DataFrame(
+        {
+            "promo_cents": pd.array([promo_c], dtype="int64"),
+            "total_cents": pd.array([total_c], dtype="int64"),
+            "promo_milli": pd.array([promo_c * 1000 // total_c if total_c else 0], dtype="int64"),
+        }
+    )
+
+
+PROMO_REVENUE_SQL = """
+SELECT CAST(SUM(promo * cents) AS BIGINT) AS promo_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(promo * cents) * 1000 // SUM(cents) AS BIGINT) AS promo_milli
+FROM (
+  SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+         CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+"""
