@@ -954,6 +954,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["contamination_semijoin"] = contamination_semijoin
 
+    def contamination_fuzzy(sf):
+        """Fuzzy decontamination (LSH + exact Jaccard — not SQL-
+        expressible; rows-only with in-query invariants). Eval set =
+        every 20th doc with its first 3 tokens dropped, id += 10M (the
+        planted ground truth: each eval doc should flag its source doc).
+        Invariants: flagged ids are train ids; every match points into
+        the eval set with jaccard in [threshold, 1]; >=90% of planted
+        sources recovered WITH the right matched_eval_id (measured ~99%
+        at sf0.01 — only very short docs fall under 0.6)."""
+        from duke_ray.stages.contamination import fuzzy_contamination_flags
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+        def variants(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            b = batch.filter(pa.array(ids % 20 == 0))
+            toks = pc.split_pattern(b["text"], pattern=" ")
+            return pa.table(
+                {
+                    "doc_id": pc.add(b["doc_id"].cast(pa.int64()), pa.scalar(10_000_000, pa.int64())),
+                    "text": pc.binary_join(pc.list_slice(toks, 3), " "),
+                }
+            )
+
+        eval_ds = docs.map_batches(variants, batch_format="pyarrow")
+        ds = fuzzy_contamination_flags(docs, eval_ds, threshold=0.6).materialize()
+        df = ds.to_pandas()
+        _require(df["best_jaccard"].between(0.6, 1.0).all(), "best_jaccard outside [thr,1]")
+        _require((df["doc_id"] < 10_000_000).all(), "flagged id not a train id")
+        _require((df["matched_eval_id"] >= 10_000_000).all(), "match not an eval id")
+        _require(((df["matched_eval_id"] - 10_000_000) % 20 == 0).all(), "match not in eval set")
+        _require((df["n_matches"] >= 1).all(), "flagged row with no matches")
+        from duke_ray.sources import documents_row_count
+
+        n_planted = (documents_row_count(sf) + 19) // 20
+        hit = int((df["matched_eval_id"] - df["doc_id"] == 10_000_000).sum())
+        _require(hit / max(n_planted, 1) >= 0.9, f"planted recall {hit}/{n_planted} < 0.9")
+        return ds
+
+    q["contamination_fuzzy"] = contamination_fuzzy
+
     def mentions(sf):
         from duke_ray.stages.triples import extract_mentions
         from duke_ray.sources import read_pages

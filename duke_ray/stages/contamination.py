@@ -222,3 +222,60 @@ def contamination_flags_semijoin(
         )
 
     return docs.map_batches(verify, batch_format="pyarrow", batch_size=8192)
+
+
+def fuzzy_contamination_flags(
+    train: "ray.data.Dataset",
+    eval_ds: "ray.data.Dataset",
+    threshold: float = 0.6,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Fuzzy decontamination: one row per CONTAMINATED train doc —
+    (doc_id, n_matches, matched_eval_id, best_jaccard) where
+    ``matched_eval_id`` is the eval doc with the highest exact k-shingle
+    Jaccard (tie -> smallest eval id). Catches paraphrased / lightly-edited
+    test-set leakage that :func:`contamination_flags`' exact substring
+    probes miss. Pairs come from stages/dedup.py:cross_corpus_near_dup_pairs
+    (cross-side-only LSH candidates + exact verify); the reduction here is
+    one more hash exchange keyed on the train doc id (argmax per key via
+    lexsort + run detection — no per-key Python)."""
+    from ..state.exchange import partitioned_reduce
+    from .dedup import cross_corpus_near_dup_pairs
+
+    pairs = cross_corpus_near_dup_pairs(
+        train, eval_ds, threshold=threshold, k=k, id_col=id_col, text_col=text_col
+    )
+
+    def best_per_doc(t: pa.Table) -> pa.Table:
+        doc = t["doc_a"].to_numpy(zero_copy_only=False)
+        ev = t["doc_b"].to_numpy(zero_copy_only=False)
+        jac = t["jaccard"].to_numpy(zero_copy_only=False)
+        n = len(doc)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_matches": pa.array([], pa.int64()),
+                    "matched_eval_id": pa.array([], pa.int64()),
+                    "best_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((ev, -jac, doc))
+        d = doc[order]
+        new_seg = np.empty(n, dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = d[1:] != d[:-1]
+        seg_start = np.flatnonzero(new_seg)
+        seg_len = np.diff(np.append(seg_start, n))
+        return pa.table(
+            {
+                "doc_id": pa.array(d[seg_start], pa.int64()),
+                "n_matches": pa.array(seg_len, pa.int64()),
+                "matched_eval_id": pa.array(ev[order][seg_start], pa.int64()),
+                "best_jaccard": pa.array(jac[order][seg_start], pa.float64()),
+            }
+        )
+
+    return partitioned_reduce(pairs, "doc_a", best_per_doc)

@@ -1101,3 +1101,102 @@ def keep_best_in_cluster(
     from ..state.exchange import partitioned_reduce
 
     return partitioned_reduce(joined, "cluster_id", argmax_partition, n_meta=n_meta)
+
+
+# --- cross-corpus fuzzy decontamination --------------------------------------
+
+def _bucket_cross_candidates(group: pd.DataFrame) -> pd.DataFrame:
+    """Side-tagged LSH bucket rows -> candidate (doc_a=side0, doc_b=side1)
+    pairs: per same-(band,band_hash) run, cross product of the run's
+    DISTINCT side-0 docs x side-1 docs. Same meta-group vectorized-run
+    topology as :func:`_bucket_candidates`, but never pairs within a side —
+    train x train pairs (the bulk of a dedup run's work) are skipped
+    entirely, which is what makes decontamination cheaper than dedup.
+    Per-side cap mirrors _MAX_BUCKET_DOCS (degenerate-bucket bound)."""
+    empty = pd.DataFrame({"doc_a": np.array([], np.int64), "doc_b": np.array([], np.int64)})
+    n = len(group)
+    if n < 2:
+        return empty
+    band = group["band"].to_numpy()
+    bh = group["band_hash"].to_numpy()
+    docs_ = group["doc_id"].to_numpy()
+    side = group["side"].to_numpy()
+    order, starts = _runs([band, bh, side, docs_], boundary_keys=2)
+    bounds = np.append(starts, n)
+    out_a, out_b = [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        d, sd = docs_[order[s:e]], side[order[s:e]]
+        u0 = np.unique(d[sd == 0])
+        u1 = np.unique(d[sd == 1])
+        if len(u0) == 0 or len(u1) == 0:
+            continue
+        if len(u0) > _MAX_BUCKET_DOCS or len(u1) > _MAX_BUCKET_DOCS:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "degenerate cross-corpus LSH bucket: %dx%d docs > cap %d; "
+                "capping each side (flag recall capped for this bucket)",
+                len(u0), len(u1), _MAX_BUCKET_DOCS,
+            )
+            u0 = u0[:_MAX_BUCKET_DOCS]
+            u1 = u1[:_MAX_BUCKET_DOCS]
+        out_a.append(np.repeat(u0, len(u1)))
+        out_b.append(np.tile(u1, len(u0)))
+    if not out_a:
+        return empty
+    return pd.DataFrame({"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)})
+
+
+def cross_corpus_near_dup_pairs(
+    train: "ray.data.Dataset",
+    eval_ds: "ray.data.Dataset",
+    threshold: float = 0.6,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b, jaccard) for train x eval pairs with exact k-shingle
+    Jaccard >= threshold — the fuzzy-decontamination primitive (exact
+    substring probes are stages/contamination.py; this catches paraphrased
+    / lightly-edited test-set leakage that substring probes miss).
+
+    Same two-pass shape as :func:`ngram_jaccard_pairs`: fixed-width LSH
+    band rows (side-tagged) -> cross-side-only candidates -> exact verify
+    via the two set-delivery exchanges. The eval side is typically tiny
+    relative to train but is NOT broadcast — both sides stream through the
+    same hash exchange, so the topology holds even when the eval set is
+    itself corpus-scale (e.g. diffing two crawl snapshots fuzzily).
+
+    Doc ids must be disjoint across the two sides (callers offset the eval
+    ids); ids only meet inside shared LSH buckets and the set exchange, so
+    a collision would silently merge two docs' shingle sets.
+    """
+    mh = MinHashStage(n_perm=64, bands=32, k=k, id_col=id_col, text_col=text_col)
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            t = mh(batch)
+            return t.append_column("side", pa.array(np.full(t.num_rows, side, np.int8), pa.int8()))
+
+        return f
+
+    buckets = train.map_batches(tag(0), batch_format="pyarrow", batch_size=4096).union(
+        eval_ds.map_batches(tag(1), batch_format="pyarrow", batch_size=4096)
+    )
+    from ..state.exchange import partitioned_reduce
+
+    cand = buckets.groupby("meta").map_groups(_bucket_cross_candidates, batch_format="pandas")
+    cand = partitioned_reduce(
+        cand, ["doc_a", "doc_b"], lambda t: t.group_by(["doc_a", "doc_b"]).aggregate([])
+    )
+
+    sets = (
+        train.union(eval_ds)
+        .map_batches(
+            lambda b: _doc_shingle_sets(b, k, id_col, text_col),
+            batch_format="pyarrow",
+            batch_size=2048,
+        )
+        .materialize()
+    )
+    return _verified_pairs(sets, cand, _pairwise_jaccard, threshold, "jaccard")
