@@ -1704,6 +1704,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["distinct_segments"] = rel.distinct_segments
     q["user_sessions"] = rel.user_sessions
 
+    def first_event_per_user(sf):
+        """Keep-first dedup over an event stream: each user's earliest
+        event (ts, then event_id) via the generic group_topk selection —
+        ascending order, k=1. SQL ROW_NUMBER oracle."""
+        from duke_ray.stages.ranking import group_topk
+
+        ev = read_table(sf, "events", columns=["event_id", "user_id", "ts"])
+
+        def to_us(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": b["user_id"].cast(pa.int64()),
+                    "event_id": b["event_id"].cast(pa.int64()),
+                    "ts_us": b["ts"].cast(pa.int64()),
+                }
+            )
+
+        ds = ev.map_batches(to_us, batch_format="pyarrow", batch_size=65536)
+        out = group_topk(ds, "user_id", "ts_us", k=1, tie_col="event_id", descending=False)
+        return out.drop_columns(["rk"])
+
+    q["first_event_per_user"] = first_event_per_user
+
+    def approx_distinct_users(sf):
+        """HLL sketch-per-key distinct users per event type (approximate —
+        not SQL-value-comparable; rows-only). In-query invariant: every
+        estimate within 5% of the EXACT distinct count (computed via the
+        exact two-level distinct exchange on the same input; p=12 gives
+        ~1.6% sd and these groups sit in the near-exact linear-counting
+        regime)."""
+        from duke_ray.stages.distinct import approx_distinct_by_group
+        from duke_ray.state.exchange import grouped_sum, partitioned_reduce
+
+        ev = read_table(sf, "events", columns=["event_type", "user_id"])
+        est = approx_distinct_by_group(ev, "event_type", "user_id", p=12).materialize()
+
+        # exact reference: distinct (type, user) pairs, then count per type
+        def pair_dedup(t: pa.Table) -> pa.Table:
+            g = t.group_by(["event_type", "user_id"]).aggregate([])
+            return pa.table(
+                {
+                    "event_type": g["event_type"],
+                    "one": pa.array(np.ones(g.num_rows, np.int64), pa.int64()),
+                }
+            )
+
+        pairs = partitioned_reduce(
+            ev.map_batches(
+                lambda b: b.group_by(["event_type", "user_id"]).aggregate([]),
+                batch_format="pyarrow",
+                batch_size=65536,
+            ),
+            ["event_type", "user_id"],
+            lambda t: pair_dedup(t),
+        )
+        exact = {
+            r["event_type"]: r["n"]
+            for r in grouped_sum(pairs, "event_type", {"one": "n"}).take_all()
+        }
+        df = est.to_pandas()
+        _require(len(df) == len(exact), "estimate group set != exact group set")
+        for _, row in df.iterrows():
+            e, g = exact[row["event_type"]], row["n_distinct_est"]
+            _require(abs(g - e) / max(e, 1) <= 0.05, f"HLL est {g} vs exact {e} off >5%")
+        return est
+
+    q["approx_distinct_users"] = approx_distinct_users
+
     # -- multimodal: media columns wired to the documents input table ------
     def media_features(sf):
         """Decode-features actor pool over the documents-derived media
@@ -2890,6 +2958,13 @@ LATERAL (SELECT unnest(generate_series(
     sql["events_tumbling"] = rel.EVENTS_TUMBLING_SQL
     sql["user_event_spans"] = rel.USER_EVENT_SPANS_SQL
     sql["distinct_segments"] = rel.DISTINCT_SEGMENTS_SQL
+    sql["first_event_per_user"] = """
+SELECT user_id, event_id, ts_us FROM (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rk
+  FROM events
+) WHERE rk = 1
+"""
     sql["user_sessions"] = rel.user_sessions_sql()
 
     return sql
