@@ -212,6 +212,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["token_counts"] = token_counts
 
+    def token_percentile(sf):
+        """Global PERCENT_RANK normalization of per-doc token counts in
+        integer milli — histogram+broadcast CDF, no global sort (see
+        stages/ranking.py:percentile_rank_milli)."""
+        from duke_ray.stages.ranking import percentile_rank_milli
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+        def with_tokens(b: pa.Table) -> pa.Table:
+            nt = pc.list_value_length(pc.split_pattern(b["text"], pattern=" "))
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].cast(pa.int64()),
+                    "n_tokens": nt.cast(pa.int64()),
+                }
+            )
+
+        ds = docs.map_batches(with_tokens, batch_format="pyarrow", batch_size=65536)
+        return percentile_rank_milli(ds, "n_tokens")
+
+    q["token_percentile"] = token_percentile
+
     def token_stats_full(sf):
         from duke_ray.stages.textstats import token_stats
 
@@ -1922,6 +1944,12 @@ def oracle_sql() -> dict[str, str]:
     sql["token_counts"] = (
         "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents"
     )
+
+    sql["token_percentile"] = """
+SELECT doc_id, n_tokens,
+       CAST(FLOOR(1000 * PERCENT_RANK() OVER (ORDER BY n_tokens)) AS BIGINT) AS pct_milli
+FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+"""
 
     sql["token_stats"] = f"""
 WITH {_TOKS_CTE}

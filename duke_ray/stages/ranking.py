@@ -95,3 +95,65 @@ def group_topk(
 
     pruned = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return partitioned_reduce(pruned, key_col, finalize, n_meta=n_meta)
+
+
+def percentile_rank_milli(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    out_col: str = "pct_milli",
+    max_distinct: int = 4_000_000,
+) -> "ray.data.Dataset":
+    """Global PERCENT_RANK per row in integer milli —
+    ``floor(1000 * cnt_less / (N - 1))`` (ties share a rank, SQL
+    PERCENT_RANK semantics) — WITHOUT a global sort: one grouped_sum
+    builds the (value -> count) histogram, the driver cumsums it into a
+    CDF (metadata-sized under the bounded-distinct assumption: token
+    counts, quantized scores, sizes), one ``ray.put`` broadcast + one
+    stateless searchsorted map attaches the rank. The corpus itself never
+    shuffles — this is the normalization shape for quality-score
+    percentiles at 100 TB. Raises past ``max_distinct`` distinct values;
+    the unbounded/adversarial-range path is the KLL sketch
+    (functions/kll.py), which trades exactness for a bounded summary.
+
+    Float discipline: milli = ``floor(1000.0 * (less / (N-1)))`` with the
+    division FIRST — the exact operation order of
+    ``FLOOR(1000 * PERCENT_RANK())`` in SQL, so the float64 results are
+    bit-identical."""
+    from ..state.exchange import grouped_sum
+
+    def val_rows(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "v": b[value_col].cast(pa.int64()),
+                "one": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("v").aggregate([("one", "sum")])
+        return g.rename_columns(["v", "one"])
+
+    hist = grouped_sum(
+        ds.map_batches(val_rows, batch_format="pyarrow", batch_size=65536), "v", {"one": "n"}
+    ).to_pandas()
+    if len(hist) > max_distinct:
+        raise ValueError(
+            f"percentile_rank_milli: {len(hist)} distinct values > {max_distinct}; "
+            "use the KLL sketch path for unbounded-range columns"
+        )
+    hist = hist.sort_values("v").reset_index(drop=True)
+    vals = hist["v"].to_numpy(np.int64)
+    counts = hist["n"].to_numpy(np.int64)
+    cnt_less = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    total = int(counts.sum())
+    ref = ray.put((vals, cnt_less, total))
+
+    def attach(b: pa.Table) -> pa.Table:
+        v, less, n = ray.get(ref)
+        x = b[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(v, x)
+        if n > 1:
+            milli = np.floor(1000.0 * (less[idx] / (n - 1))).astype(np.int64)
+        else:
+            milli = np.zeros(len(x), np.int64)
+        return b.append_column(out_col, pa.array(milli, pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow", batch_size=65536)

@@ -62,3 +62,31 @@ def test_group_topk_rejects_bad_k(ray_session):
     df = pd.DataFrame({"key": [1], "val": [1], "tid": [1]})
     with pytest.raises(ValueError):
         group_topk(ray.data.from_pandas(df), "key", "val", k=0, tie_col="tid")
+
+
+def test_percentile_rank_milli_ties_and_edges(ray_session):
+    from duke_ray.stages.ranking import percentile_rank_milli
+
+    df = pd.DataFrame({"id": np.arange(7), "v": [5, 5, 1, 9, 5, 1, 9]})
+    got = (
+        percentile_rank_milli(ray.data.from_pandas(df).repartition(3), "v")
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # N=7: cnt_less: v=1->0, v=5->2, v=9->5 ; milli = floor(1000*less/6)
+    want = {1: 0, 5: 333, 9: 833}
+    assert got["pct_milli"].tolist() == [want[v] for v in df["v"]]
+
+    one = percentile_rank_milli(
+        ray.data.from_pandas(pd.DataFrame({"id": [0], "v": [42]})), "v"
+    ).to_pandas()
+    assert one["pct_milli"].tolist() == [0]
+
+
+def test_percentile_rank_milli_distinct_cap(ray_session):
+    from duke_ray.stages.ranking import percentile_rank_milli
+
+    df = pd.DataFrame({"v": np.arange(100)})
+    with pytest.raises(ValueError, match="distinct"):
+        percentile_rank_milli(ray.data.from_pandas(df), "v", max_distinct=10).to_pandas()
