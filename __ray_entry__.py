@@ -596,6 +596,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["sort_manifest"] = sort_manifest
 
+    def shuffle_manifest(sf):
+        """Partition manifest of the deterministic training-export
+        shuffle (md5-key range partitioning, stages/shuffle.py): per
+        partition n_rows / min_key / max_key / sum_id. The permutation
+        is a pure function of doc_id, so the manifest is bit-identical
+        at any parallelism and SQL-checkable."""
+        from duke_ray.stages.shuffle import shuffle_manifest as shm
+
+        docs = read_table(sf, "documents", columns=["doc_id"])
+        return shm(docs, n_parts=16)
+
+    q["shuffle_manifest"] = shuffle_manifest
+
     def gram_matrix(sf):
         """Exact integer Gram matrix of the embedding column (upper
         triangle) — the distributed covariance/PCA building block; each
@@ -2290,6 +2303,17 @@ SELECT CAST(part AS BIGINT) AS part, CAST(COUNT(*) AS BIGINT) AS n_rows,
        MIN(val) AS min_val, MAX(val) AS max_val,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
 FROM p GROUP BY part
+"""
+
+    sql["shuffle_manifest"] = """
+WITH keyed AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS skey FROM documents
+)
+SELECT CAST(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS BIGINT) AS part,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(skey) AS min_key, MAX(skey) AS max_key,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM keyed GROUP BY 1
 """
 
     sql["frequent_terms"] = f"""
