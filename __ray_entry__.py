@@ -609,6 +609,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["shuffle_manifest"] = shuffle_manifest
 
+    def pack_sequences(sf):
+        """Per-sequence manifest of fixed 512-token training packing
+        (stages/pack.py): docs in deterministic-shuffle order per hash
+        bucket, seq = tokens_before // budget via ONE metadata-sized
+        exchange. Exactly a SQL window cumsum."""
+        from duke_ray.stages.pack import pack_manifest
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+        def with_tokens(b: pa.Table) -> pa.Table:
+            toks = pa.compute.split_pattern(
+                pa.compute.fill_null(b["text"], ""), pattern=" "
+            )
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].cast(pa.int64()),
+                    "n_tokens": pa.compute.list_value_length(toks).cast(pa.int64()),
+                }
+            )
+
+        return pack_manifest(
+            docs.map_batches(with_tokens, batch_format="pyarrow"),
+            budget=512,
+            n_buckets=16,
+        )
+
+    q["pack_sequences"] = pack_sequences
+
     def gram_matrix(sf):
         """Exact integer Gram matrix of the embedding column (upper
         triangle) — the distributed covariance/PCA building block; each
@@ -2314,6 +2342,32 @@ SELECT CAST(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS BIGINT) AS par
        MIN(skey) AS min_key, MAX(skey) AS max_key,
        CAST(SUM(doc_id) AS BIGINT) AS sum_id
 FROM keyed GROUP BY 1
+"""
+
+    sql["pack_sequences"] = """
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+),
+b AS (
+  SELECT doc_id, n_tokens, skey,
+         CAST(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS BIGINT) AS bucket
+  FROM keyed
+),
+c AS (
+  SELECT doc_id, n_tokens, bucket,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM b
+)
+SELECT bucket, CAST(cum_before // 512 AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM c GROUP BY 1, 2
 """
 
     sql["frequent_terms"] = f"""
