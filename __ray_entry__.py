@@ -637,6 +637,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pack_sequences"] = pack_sequences
 
+    def pack_texts(sf):
+        """Materialized packed training sequences: member docs joined in
+        pack order (stages/pack.py:pack_export) — text crosses the one
+        bucket exchange exactly once, as the output itself."""
+        from duke_ray.stages.pack import pack_export
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+        def with_tokens(b: pa.Table) -> pa.Table:
+            text = pa.compute.fill_null(b["text"], "")
+            toks = pa.compute.split_pattern(text, pattern=" ")
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"].cast(pa.int64()),
+                    "text": text,
+                    "n_tokens": pa.compute.list_value_length(toks).cast(pa.int64()),
+                }
+            )
+
+        return pack_export(
+            docs.map_batches(with_tokens, batch_format="pyarrow"),
+            budget=512,
+            n_buckets=16,
+        )
+
+    q["pack_texts"] = pack_texts
+
     def gram_matrix(sf):
         """Exact integer Gram matrix of the embedding column (upper
         triangle) — the distributed covariance/PCA building block; each
@@ -2367,6 +2394,32 @@ SELECT bucket, CAST(cum_before // 512 AS BIGINT) AS seq_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM c GROUP BY 1, 2
+"""
+
+    sql["pack_texts"] = """
+WITH keyed AS (
+  SELECT doc_id, text,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+),
+b AS (
+  SELECT doc_id, text, n_tokens, skey,
+         CAST(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS BIGINT) AS bucket
+  FROM keyed
+),
+c AS (
+  SELECT doc_id, text, n_tokens, bucket, skey,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY bucket ORDER BY skey, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM b
+)
+SELECT bucket, CAST(cum_before // 512 AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       STRING_AGG(text, ' ' ORDER BY skey, doc_id) AS seq_text
 FROM c GROUP BY 1, 2
 """
 

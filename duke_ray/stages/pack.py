@@ -57,9 +57,10 @@ def _keyed_rows(
     return ds.map_batches(per_batch, batch_format="pyarrow", batch_size=65536)
 
 
-def _pack_partition(t: pa.Table, budget: int, manifest: bool) -> pa.Table:
-    """Sort one exchange partition (>= 1 whole buckets) into pack order,
-    assign seq ids by exclusive prefix sum, reset per bucket."""
+def _seq_sorted(t: pa.Table, budget: int) -> tuple[pa.Table, np.ndarray]:
+    """Sort one exchange partition (>= 1 whole buckets) into pack order
+    and assign seq ids by per-bucket exclusive prefix sum. Returns the
+    sorted table plus the aligned seq-id array."""
     import pyarrow.compute as pc
 
     t = t.take(
@@ -82,7 +83,11 @@ def _pack_partition(t: pa.Table, budget: int, manifest: bool) -> pa.Table:
     base[starts] = cum[starts] - toks[starts]  # == cum before the run
     np.maximum.accumulate(base, out=base)
     before = cum - toks - base
-    seq = before // budget
+    return t, before // budget
+
+
+def _pack_partition(t: pa.Table, budget: int, manifest: bool) -> pa.Table:
+    t, seq = _seq_sorted(t, budget)
     if not manifest:
         return pa.table(
             {
@@ -106,6 +111,44 @@ def _pack_partition(t: pa.Table, budget: int, manifest: bool) -> pa.Table:
     )
 
 
+def _export_partition(t: pa.Table, budget: int, sep: str) -> pa.Table:
+    """Per-sequence concatenated text, docs in pack order. After
+    ``_seq_sorted`` every (bucket, seq) group is a CONTIGUOUS run, so the
+    concat builds straight from run boundaries — no hash aggregation, no
+    reliance on grouped-list encounter order."""
+    import pyarrow.compute as pc
+
+    t, seq = _seq_sorted(t, budget)
+    empty_cols = {
+        "bucket": pa.array([], pa.int64()),
+        "seq_id": pa.array([], pa.int64()),
+        "n_docs": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "seq_text": pa.array([], pa.string()),
+    }
+    if t.num_rows == 0:
+        return pa.table(empty_cols)
+    bucket = t["bucket"].to_numpy(zero_copy_only=False)
+    toks = t["n_tokens"].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(
+        np.r_[True, (bucket[1:] != bucket[:-1]) | (seq[1:] != seq[:-1])]
+    )
+    ends = np.r_[starts[1:], len(bucket)]
+    texts = pa.ListArray.from_arrays(
+        pa.array(np.r_[starts, len(bucket)], pa.int32()),
+        t["text"].combine_chunks(),
+    )
+    return pa.table(
+        {
+            "bucket": pa.array(bucket[starts], pa.int64()),
+            "seq_id": pa.array(seq[starts], pa.int64()),
+            "n_docs": pa.array(ends - starts, pa.int64()),
+            "n_tokens": pa.array(np.add.reduceat(toks, starts), pa.int64()),
+            "seq_text": pc.binary_join(texts, sep),
+        }
+    )
+
+
 def pack_assignments(
     ds: "ray.data.Dataset",
     budget: int,
@@ -124,6 +167,46 @@ def pack_assignments(
         _keyed_rows(ds, id_col, tokens_col, k),
         "bucket",
         lambda t: _pack_partition(t, budget, manifest=False),
+        n_meta=min(16, n_buckets),
+    )
+
+
+def pack_export(
+    ds: "ray.data.Dataset",
+    budget: int,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    text_col: str = "text",
+    sep: str = " ",
+) -> "ray.data.Dataset":
+    """Materialized packed sequences: (bucket, seq_id, n_docs, n_tokens,
+    seq_text) with seq_text = member docs joined by ``sep`` in pack
+    order. The one op where text DOES cross the exchange — exactly once,
+    as the actual output; everything else here ships metadata rows."""
+    from ..state.exchange import partitioned_reduce
+
+    k = _log16(n_buckets)
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        keys = _md5_hex(b[id_col], _KEY_HEX)
+        return pa.table(
+            {
+                "id": b[id_col].cast(pa.int64()),
+                "n_tokens": b[tokens_col].cast(pa.int64()),
+                "text": b[text_col].cast(pa.string()),
+                "skey": pa.array(keys),
+                "bucket": pa.array(_hex_part(keys, k), pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(per_batch, batch_format="pyarrow", batch_size=65536)
+    return partitioned_reduce(
+        keyed,
+        "bucket",
+        lambda t: _export_partition(t, budget, sep),
         n_meta=min(16, n_buckets),
     )
 

@@ -105,3 +105,51 @@ def test_pack_rejects_bad_budget(ray_session):
         pack_manifest(_ds([1], [5], parts=1), budget=0)
     with pytest.raises(ValueError):
         pack_assignments(_ds([1], [5], parts=1), budget=0)
+
+
+def test_pack_export_concatenates_in_pack_order(ray_session):
+    from duke_ray.stages.pack import pack_export
+
+    rng = np.random.default_rng(13)
+    ids = np.arange(1, 401, dtype=np.int64)
+    toks = rng.integers(1, 60, len(ids)).astype(np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(toks, pa.int64()),
+                "text": pa.array([f"d{i}" for i in ids]),
+            }
+        )
+    ).repartition(6)
+    out = pack_export(ds, budget=128).to_pandas()
+    ref = _ref(ids, toks, 128)
+    # scalar reference concat: docs of each (bucket, seq) in key order
+    order = sorted(
+        (hashlib.md5(str(i).encode()).hexdigest(), int(i)) for i in ids
+    )
+    texts, ntok = {}, {}
+    for _, i in order:
+        key = ref[i]
+        texts.setdefault(key, []).append(f"d{i}")
+        ntok[key] = ntok.get(key, 0) + int(toks[i - 1])
+    got = {(int(r.bucket), int(r.seq_id)): r.seq_text for r in out.itertuples()}
+    assert got == {k: " ".join(v) for k, v in texts.items()}
+    gotn = {(int(r.bucket), int(r.seq_id)): int(r.n_tokens) for r in out.itertuples()}
+    assert gotn == ntok
+    assert out["n_docs"].sum() == len(ids)
+
+
+def test_pack_export_empty_input(ray_session):
+    from duke_ray.stages.pack import pack_export
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert len(pack_export(ds, budget=128).to_pandas()) == 0
