@@ -350,6 +350,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["value_quantiles_sketch"] = value_quantiles_sketch
 
+    def event_value_sketch(sf):
+        """Per-group KLL quantiles over events.value grouped by
+        event_type (stages/textstats.py:sketch_quantiles_by_group) —
+        the grouped unbounded-range scale path (rows-only: approximate
+        by construction). In-query invariants: per-group n equals the
+        exact non-null count and every estimate's TRUE per-group rank
+        interval (one exact counting scan) is within EPS_RANK."""
+        from duke_ray.functions.kll import EPS_RANK
+        from duke_ray.stages.textstats import (
+            grouped_rank_bounds,
+            sketch_quantiles_by_group,
+        )
+
+        ev = read_table(sf, "events", columns=["event_type", "value"])
+        qs = (10, 500, 990)
+        out = sketch_quantiles_by_group(
+            ev, "event_type", "value", qs_milli=qs
+        ).to_pandas()
+        est = {
+            g: sub.sort_values("q_milli")["estimate"].to_numpy()
+            for g, sub in out.groupby("event_type")
+        }
+        rb = grouped_rank_bounds(ev, "event_type", "value", est)
+        for g, (lt, le, n) in rb.items():
+            _require(
+                set(out[out["event_type"] == g]["n"]) == {n},
+                f"sketch n != exact count for group {g}",
+            )
+            for q_milli, lo, hi in zip(qs, lt, le):
+                err = max(0.0, lo / n - q_milli / 1000.0, q_milli / 1000.0 - hi / n)
+                _require(
+                    err <= EPS_RANK,
+                    f"group {g} rank error {err:.4f} > {EPS_RANK} at q={q_milli}",
+                )
+        return out.sort_values(["event_type", "q_milli"]).reset_index(drop=True)
+
+    q["event_value_sketch"] = event_value_sketch
+
     def doc_rollup(sf):
         """GROUP BY ROLLUP(lang, source): doc counts + token mass at all
         three levels from one corpus scan; rolled-up keys hold 'ALL'."""

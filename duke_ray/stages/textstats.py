@@ -555,6 +555,171 @@ def rank_bounds(
     return lt, le, int(parts["n"].sum())
 
 
+def sketch_quantiles_by_group(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    qs_milli: tuple[int, ...] = (10, 500, 990),
+    k: int | None = None,
+    n_meta: int = 64,
+) -> "ray.data.Dataset":
+    """APPROXIMATE per-group quantiles over an unbounded-range continuous
+    column -> (group_col, q_milli, estimate, n): the grouped companion of
+    :func:`sketch_quantiles`, and the scale path :func:`grouped_int_quantiles`
+    cannot cover (its exchange is bounded by the value RANGE; this one
+    ships one k*log2(n/k)-item KLL sketch per (block, group) regardless
+    of the distribution — the HLL-per-key topology of
+    ``stages/distinct.py`` with a quantile sketch as the payload).
+
+    Unlike :func:`sketch_quantiles`'s driver combine (valid for ONE
+    sketch), group cardinality can be corpus-like, so partial sketch rows
+    merge inside a group-keyed ``partitioned_reduce``; per-group partials
+    merge in canonical order so estimates are independent of task
+    completion order and layout. NULL values are ignored; groups whose
+    values are all NULL do not appear."""
+    from ..functions.kll import DEFAULT_K, KLLSketch
+
+    kk = DEFAULT_K if k is None else int(k)
+    for q in qs_milli:
+        if not (0 < q <= 1000):
+            raise ValueError("q_milli must be in (0, 1000]")
+
+    items_t = pa.list_(pa.list_(pa.float64()))
+    flips_t = pa.list_(pa.int64())
+
+    def _group_runs(garr: pa.Array) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+        """(stable order, run starts, dictionary) of a group column."""
+        enc = pc.dictionary_encode(garr)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(idx, kind="stable")
+        sidx = idx[order]
+        starts = np.flatnonzero(np.r_[True, sidx[1:] != sidx[:-1]])
+        return order, starts, enc.dictionary.take(pa.array(sidx[starts]))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"g": b[group_col], "v": b[col]}).filter(pc.is_valid(b[col]))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], b[group_col].type),
+                    "items": pa.array([], items_t),
+                    "flips": pa.array([], flips_t),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        order, starts, groups = _group_runs(t["g"])
+        v = t["v"].cast(pa.float64()).to_numpy(zero_copy_only=False)[order]
+        ends = np.r_[starts[1:], len(v)]
+        items, flips, ns = [], [], []
+        for s, e in zip(starts, ends):
+            sk = KLLSketch(kk).update_many(v[s:e])
+            items.append([lvl.tolist() for lvl in sk.levels])
+            flips.append(list(sk.flips))
+            ns.append(sk.n)
+        return pa.table(
+            {
+                group_col: groups,
+                "items": pa.array(items, items_t),
+                "flips": pa.array(flips, flips_t),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    qs_frac = [q / 1000.0 for q in qs_milli]
+
+    def combine(t: pa.Table) -> pa.Table:
+        order, starts, groups = _group_runs(
+            t[group_col].combine_chunks()
+            if isinstance(t[group_col], pa.ChunkedArray)
+            else t[group_col]
+        )
+        items = t["items"].to_pylist()
+        flips = t["flips"].to_pylist()
+        ns = t["n"].to_pylist()
+        ends = np.r_[starts[1:], t.num_rows]
+        out_g, out_q, out_e, out_n = [], [], [], []
+        for gi, (s, e) in enumerate(zip(starts, ends)):
+            parts = []
+            for j in order[s:e]:
+                sk = KLLSketch(kk)
+                sk.levels = [np.asarray(lvl, np.float64) for lvl in items[j]]
+                sk.flips = [int(f) for f in flips[j]]
+                sk.n = int(ns[j])
+                parts.append(sk)
+            parts.sort(key=lambda s_: s_.canonical_key())
+            merged = KLLSketch(kk)
+            for p in parts:
+                merged.merge(p)
+            ests = merged.quantiles(qs_frac)
+            g = groups[gi]
+            for qm, est in zip(qs_milli, ests):
+                out_g.append(g.as_py())
+                out_q.append(qm)
+                out_e.append(float(est))
+                out_n.append(merged.n)
+        return pa.table(
+            {
+                group_col: pa.array(out_g, groups.type),
+                "q_milli": pa.array(out_q, pa.int64()),
+                "estimate": pa.array(out_e, pa.float64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    from ..state.exchange import partitioned_reduce
+
+    return partitioned_reduce(partials, group_col, combine, n_meta=n_meta)
+
+
+def grouped_rank_bounds(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    col: str,
+    estimates: dict,
+) -> dict:
+    """Exact per-group (rank_lt, rank_le, n) of each group's estimate
+    vector over ``col`` in ONE corpus scan — the live rank-error check
+    for :func:`sketch_quantiles_by_group`. ``estimates`` maps group value
+    -> np.ndarray; returns group value -> (lt, le, n)."""
+    groups = sorted(estimates)
+    est = {g: np.asarray(estimates[g], np.float64) for g in groups}
+
+    def counts(b: pa.Table) -> pa.Table:
+        t = pa.table({"g": b[group_col], "v": b[col]}).filter(pc.is_valid(b[col]))
+        out_g, out_lt, out_le, out_n = [], [], [], []
+        for g in groups:
+            v = (
+                t.filter(pc.equal(t["g"], g))["v"]
+                .cast(pa.float64())
+                .to_numpy(zero_copy_only=False)
+            )
+            vs = np.sort(v)
+            out_g.append(g)
+            out_lt.append(np.searchsorted(vs, est[g], side="left").tolist())
+            out_le.append(np.searchsorted(vs, est[g], side="right").tolist())
+            out_n.append(len(v))
+        return pa.table(
+            {
+                "g": pa.array(out_g),
+                "lt": pa.array(out_lt, pa.list_(pa.int64())),
+                "le": pa.array(out_le, pa.list_(pa.int64())),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(counts, batch_format="pyarrow", batch_size=65536).to_pandas()
+    result = {}
+    for g in groups:
+        rows = parts[parts["g"] == g]
+        lt = np.sum([np.asarray(r, np.int64) for r in rows["lt"]], axis=0)
+        le = np.sum([np.asarray(r, np.int64) for r in rows["le"]], axis=0)
+        result[g] = (lt, le, int(rows["n"].sum()))
+    return result
+
+
 def doc_top_terms_batch(
     batch: pa.Table, k: int = 5, id_col: str = "doc_id", text_col: str = "text"
 ) -> pa.Table:

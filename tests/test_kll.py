@@ -161,3 +161,57 @@ def test_sketch_quantiles_nulls_and_empty(ray_session):
     assert len(out2) == 0
     with pytest.raises(ValueError):
         sketch_quantiles(ray.data.from_arrow(t), "value", qs_milli=(0,))
+
+
+def test_sketch_quantiles_by_group_rank_error(ray_session):
+    from duke_ray.functions.kll import EPS_RANK
+    from duke_ray.stages.textstats import (
+        grouped_rank_bounds,
+        sketch_quantiles_by_group,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 40000
+    g = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    v = np.where(g == "x", np.exp(rng.uniform(-200, 200, n)), rng.normal(0, 1, n))
+    v = np.where(g == "y", rng.integers(0, 3, n).astype(float), v)  # ties
+    ds = ray.data.from_arrow(pa.table({"seg": g, "value": v})).repartition(8)
+    qs = (10, 500, 990)
+    out = sketch_quantiles_by_group(ds, "seg", "value", qs_milli=qs).to_pandas()
+    assert sorted(out["seg"].unique()) == ["x", "y", "z"]
+    est = {
+        grp: sub.sort_values("q_milli")["estimate"].to_numpy()
+        for grp, sub in out.groupby("seg")
+    }
+    rb = grouped_rank_bounds(ds, "seg", "value", est)
+    for grp, (lt, le, ng) in rb.items():
+        assert ng == int((g == grp).sum())
+        assert set(out[out["seg"] == grp]["n"]) == {ng}
+        for q_milli, lo, hi in zip(qs, lt, le):
+            err = max(0.0, lo / ng - q_milli / 1000.0, q_milli / 1000.0 - hi / ng)
+            assert err <= EPS_RANK, (grp, q_milli, err)
+    # small exact-regime group: estimates are exact quantile values
+    for q_milli, est_v in zip(qs, est["y"]):
+        assert est_v in (0.0, 1.0, 2.0)
+
+
+def test_sketch_quantiles_by_group_nulls_and_validation(ray_session):
+    from duke_ray.stages.textstats import sketch_quantiles_by_group
+
+    t = pa.table(
+        {
+            "seg": ["a", "a", "b", "b"],
+            "value": pa.array([None, 3.0, None, None], pa.float64()),
+        }
+    )
+    out = sketch_quantiles_by_group(
+        ray.data.from_arrow(t), "seg", "value", qs_milli=(500,)
+    ).to_pandas()
+    # all-null group b absent; a's single value is its median, n == 1
+    assert out["seg"].tolist() == ["a"]
+    assert out["estimate"].tolist() == [3.0]
+    assert out["n"].tolist() == [1]
+    with pytest.raises(ValueError):
+        sketch_quantiles_by_group(
+            ray.data.from_arrow(t), "seg", "value", qs_milli=(1001,)
+        )
