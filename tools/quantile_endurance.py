@@ -47,11 +47,20 @@ def _mix(x: np.ndarray, salt: int) -> np.ndarray:
         return z
 
 
+GROUPS = int(os.environ.get("QEND_GROUPS", 256))
+
+
 def row_batch(batch: pa.Table) -> pa.Table:
     i = batch["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
     u = _mix(i, 5).astype(np.float64) / float(2**64)  # uniform [0,1)
     val = np.exp((u - 0.5) * 1380.0)  # 1e-300 .. 1e300
-    return pa.table({"value": pa.array(val, pa.float64())})
+    seg = (_mix(i, 11) % np.uint64(GROUPS)).astype(np.int64)
+    return pa.table(
+        {
+            "value": pa.array(val, pa.float64()),
+            "seg": pa.array(seg, pa.int64()),
+        }
+    )
 
 
 def run_once() -> None:
@@ -91,11 +100,51 @@ def run_once() -> None:
     from duke_ray.functions.kll import DEFAULT_K
 
     state_bound_items = DEFAULT_K * (int(np.log2(max(N, 2) / DEFAULT_K)) + 2)
+
+    # grouped leg: one sketch per (block, group) through the group-keyed
+    # exchange — GROUPS adversarial-range streams at once. Invariants:
+    # exactly GROUPS groups, per-group n sums to N, and a hash-chosen
+    # sample of groups passes the exact rank check (a full per-group
+    # rank scan over every group is O(GROUPS) kernel passes — the
+    # sample keeps the harness honest without drowning it).
+    from duke_ray.stages.textstats import (
+        grouped_rank_bounds,
+        sketch_quantiles_by_group,
+    )
+
+    gqs = (10, 500, 990)
+    t0 = time.time()
+    gout = (
+        sketch_quantiles_by_group(rows, "seg", "value", qs_milli=gqs)
+        .materialize()
+        .to_pandas()
+    )
+    gsec = time.time() - t0
+    assert gout["seg"].nunique() == GROUPS
+    per_n = gout.groupby("seg")["n"].first()
+    assert int(per_n.sum()) == N, (int(per_n.sum()), N)
+    sample = sorted(
+        int(_mix(np.array([s], np.uint64), 13)[0] % GROUPS) for s in range(8)
+    )
+    est = {
+        g: gout[gout["seg"] == g].sort_values("q_milli")["estimate"].to_numpy()
+        for g in set(sample)
+    }
+    rb = grouped_rank_bounds(rows, "seg", "value", est)
+    gerrs = []
+    for g, (lt2, le2, ng) in rb.items():
+        assert ng == int(per_n[g])
+        for q, lo, hi in zip(gqs, lt2, le2):
+            gerrs.append(max(0.0, lo / ng - q / 1000.0, q / 1000.0 - hi / ng))
+    assert max(gerrs) <= EPS_RANK, gerrs
+
     print(
         json.dumps(
             {
                 f"sec_{cpus}": round(sec, 2),
                 f"max_rank_err_{cpus}": round(max(errs), 5),
+                f"grouped_sec_{cpus}": round(gsec, 2),
+                f"grouped_max_rank_err_{cpus}": round(max(gerrs), 5),
                 "state_bound_items": state_bound_items,
                 "state_frac_of_n": round(state_bound_items / N, 8),
             }
