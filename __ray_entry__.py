@@ -702,6 +702,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["pack_texts"] = pack_texts
 
+    def graph_walks(sf):
+        """Deterministic random walks (stages/walks.py) over the
+        customer<->order bipartite graph: 2 walkers per node, 4 steps,
+        hash-of-state edge choice — the DeepWalk-style walk-corpus
+        generator, bit-identical at any width and exactly reproduced by
+        a DuckDB recursive CTE."""
+        from duke_ray.stages.walks import random_walks
+
+        orders = read_table(sf, "orders", columns=["o_orderkey", "o_custkey"])
+        OFF = 1_000_000_000
+
+        def to_edges(b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].cast(pa.int64())
+            ok = pa.compute.add(
+                b["o_orderkey"].cast(pa.int64()), pa.scalar(OFF, pa.int64())
+            )
+            return pa.table(
+                {
+                    "src": pa.concat_arrays(
+                        [ck.combine_chunks(), ok.combine_chunks()]
+                    ),
+                    "dst": pa.concat_arrays(
+                        [ok.combine_chunks(), ck.combine_chunks()]
+                    ),
+                }
+            )
+
+        edges = orders.map_batches(to_edges, batch_format="pyarrow")
+        return random_walks(edges, walk_len=4, n_reps=2)
+
+    q["graph_walks"] = graph_walks
+
     def gram_matrix(sf):
         """Exact integer Gram matrix of the embedding column (upper
         triangle) — the distributed covariance/PCA building block; each
@@ -2459,6 +2491,34 @@ SELECT bucket, CAST(cum_before // 512 AS BIGINT) AS seq_id,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        STRING_AGG(text, ' ' ORDER BY skey, doc_id) AS seq_text
 FROM c GROUP BY 1, 2
+"""
+
+    sql["graph_walks"] = """
+WITH RECURSIVE e0 AS (
+  SELECT CAST(o_custkey AS BIGINT) AS src,
+         CAST(o_orderkey + 1000000000 AS BIGINT) AS dst FROM orders
+  UNION
+  SELECT CAST(o_orderkey + 1000000000 AS BIGINT) AS src,
+         CAST(o_custkey AS BIGINT) AS dst FROM orders
+),
+adj AS (
+  SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos
+  FROM e0
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY src),
+walk(walk_id, step, node) AS (
+  SELECT src * 2 + r, CAST(0 AS BIGINT), src
+  FROM (SELECT DISTINCT src FROM e0) CROSS JOIN (SELECT UNNEST([0, 1]) AS r)
+  UNION ALL
+  SELECT w.walk_id, w.step + 1, a.dst
+  FROM walk w
+  JOIN deg g ON g.src = w.node
+  JOIN adj a ON a.src = w.node
+   AND a.pos = ((w.walk_id * 1000003 + w.step * 7919 + w.node * 104729)
+                % 2147483647) % g.d
+  WHERE w.step < 4
+)
+SELECT walk_id, step, node FROM walk
 """
 
     sql["frequent_terms"] = f"""
