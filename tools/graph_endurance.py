@@ -297,11 +297,61 @@ def run_triangles() -> None:
     ray.shutdown()
 
 
+def run_walks() -> None:
+    """Deterministic walk-corpus leg: every node has a chain out-edge by
+    construction (no sinks), so the output is EXACTLY
+    n_nodes * (walk_len + 1) rows — a closed-form count — and the
+    (walk_id, step, node) checksum must be bit-identical at any width."""
+    import ray
+
+    ray.init(address="local", num_cpus=CPUS, include_dashboard=False, logging_level="ERROR")
+    from duke_ray.context import tune_context
+    from duke_ray.stages.walks import random_walks
+
+    tune_context()
+    edges = _build_edges(CPUS)
+    walk_len = int(os.environ.get("GRAPH_WALK_LEN", 4))
+
+    t0 = time.time()
+    walks = random_walks(
+        edges,
+        walk_len=walk_len,
+        n_reps=1,
+        src_col="subj_id",
+        dst_col="obj_id",
+        n_meta=max(64, 4 * CPUS),
+    ).materialize()
+    sec = time.time() - t0
+
+    stats = walks.map_batches(
+        lambda b: pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "ck": pa.array(
+                    [int(np.bitwise_xor.reduce(_mix(
+                        b["node"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                        + (b["walk_id"].to_numpy(zero_copy_only=False).astype(np.uint64) << np.uint64(24))
+                        + (b["step"].to_numpy(zero_copy_only=False).astype(np.uint64) << np.uint64(56)),
+                        7,
+                    )).astype(np.int64))],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n_rows = int(stats["n"].sum())
+    assert n_rows == NODES * (walk_len + 1), (n_rows, NODES, walk_len)
+    checksum = int(np.bitwise_xor.reduce(stats["ck"].to_numpy().astype(np.uint64)).astype(np.int64))
+    print(json.dumps({"walks_sec": round(sec, 2), "walks_checksum": checksum}))
+    ray.shutdown()
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ, PYTHONPATH=repo)
     out = {}
-    ops = ("pagerank", "components", "reach", "triangles")
+    ops = ("pagerank", "components", "reach", "triangles", "walks")
     if os.environ.get("GRAPH_OPS"):
         ops = tuple(os.environ["GRAPH_OPS"].split(","))
     for op in ops:
@@ -337,6 +387,7 @@ if __name__ == "__main__":
         "components": run_components,
         "reach": run_reach,
         "triangles": run_triangles,
+        "walks": run_walks,
     }
     if len(sys.argv) > 1 and sys.argv[1] in _runners:
         _runners[sys.argv[1]]()
