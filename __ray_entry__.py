@@ -1860,6 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["customers_per_region"] = rel.customers_per_region
     q["filtered_parts"] = rel.filtered_parts
     q["events_tumbling"] = rel.events_tumbling_hourly
+    q["events_sliding"] = rel.events_sliding_hourly
     q["user_event_spans"] = rel.user_event_spans
     q["distinct_segments"] = rel.distinct_segments
     q["user_sessions"] = rel.user_sessions
@@ -3213,6 +3214,7 @@ LATERAL (SELECT unnest(generate_series(
     sql["customers_per_region"] = rel.CUSTOMERS_PER_REGION_SQL
     sql["filtered_parts"] = rel.filtered_parts_sql()
     sql["events_tumbling"] = rel.EVENTS_TUMBLING_SQL
+    sql["events_sliding"] = rel.EVENTS_SLIDING_SQL
     sql["user_event_spans"] = rel.USER_EVENT_SPANS_SQL
     sql["distinct_segments"] = rel.DISTINCT_SEGMENTS_SQL
     sql["first_event_per_user"] = """

@@ -272,6 +272,69 @@ GROUP BY event_type, window_start
 """
 
 
+def events_sliding_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Sliding (hopping) 1h windows with a 15min hop: each event lands in
+    exactly 4 overlapping windows, expanded VECTORIZED at the map side
+    (np.repeat + tiled hop offsets — the fan-out is W/H rows per event,
+    a constant, so the exchange stays 4x event volume regardless of
+    corpus size) and aggregated with the same map-side-partial topology
+    as :func:`events_tumbling_hourly`."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    W_US = 3_600_000_000
+    H_US = 900_000_000
+    FANOUT = W_US // H_US
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = (us // H_US) * H_US
+        offs = np.arange(FANOUT, dtype=np.int64) * H_US
+        starts = np.repeat(base, FANOUT) - np.tile(offs, len(base))
+        vm = pc.cast(
+            pc.round(
+                pc.multiply(batch["value"], pa.scalar(1000.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        et = batch["event_type"].combine_chunks() if isinstance(
+            batch["event_type"], pa.ChunkedArray
+        ) else batch["event_type"]
+        idx = pa.array(np.repeat(np.arange(len(batch), dtype=np.int64), FANOUT))
+        t = pa.table(
+            {
+                "event_type": et.take(idx),
+                "window_start": pa.array(starts, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "value_milli": pa.array(np.repeat(vm, FANOUT), pa.int64()),
+                "n": pa.array(np.ones(len(starts), np.int64)),
+            }
+        )
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("value_milli", "sum"), ("n", "sum")]
+        )
+        return g.rename_columns(
+            ["event_type", "window_start", "sum_value_milli", "n_events"]
+        )
+
+    partials = ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("sum_value_milli", alias_name="sum_value_milli"),
+        Sum("n_events", alias_name="n_events"),
+    )
+
+
+EVENTS_SLIDING_SQL = """
+SELECT event_type,
+       time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+         AS window_start,
+       CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k)
+GROUP BY event_type, window_start
+"""
+
+
 # distinct / unique ----------------------------------------------------------
 
 def distinct_segments(sf_dir: str) -> "ray.data.Dataset":

@@ -198,3 +198,22 @@ def test_user_running_values_matches_pandas(ray_session, tmp_path):
         want["prev_milli"].astype("float64"),
         check_names=False,
     )
+
+
+def test_events_sliding_fanout_invariants(ray_session):
+    import pyarrow.parquet as pq
+
+    from duke_ray.pipelines.relational import events_sliding_hourly
+
+    sf = "/root/testdata/sf0.001"
+    out = events_sliding_hourly(sf).to_pandas()
+    n_events = pq.read_metadata(sf + "/events.parquet").num_rows
+    # every event lands in exactly W/H = 4 windows
+    assert out["n_events"].sum() == 4 * n_events
+    # window starts are hop-aligned (pandas int64 view is NANOSECONDS)
+    ns = out["window_start"].values.astype("datetime64[ns]").astype("int64")
+    assert (ns % 900_000_000_000 == 0).all()
+    # overlapping windows: distinct starts outnumber tumbling hours
+    hours = ns // 3_600_000_000_000
+    import numpy as _np
+    assert len(_np.unique(ns)) > len(_np.unique(hours))
