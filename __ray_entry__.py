@@ -734,6 +734,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["graph_walks"] = graph_walks
 
+    def node_vectors(sf):
+        """DeepWalk-by-composition node embeddings (rows-only: driver
+        eigensolve): deterministic walks over the customer<->order graph
+        -> walk sentences (stages/walks.py:walk_texts) -> the existing
+        PPMI->PCA word-vector path, with node ids as the vocabulary.
+        In-query invariants: every embedded token IS a node id of the
+        graph, no vec_id collisions, PCA components orthonormal with
+        descending eigenvalues, projection rows == 4 per embedded node."""
+        from duke_ray.stages.walks import random_walks, walk_texts
+        from duke_ray.stages.wordvec import ppmi_pca as pp
+
+        orders = read_table(sf, "orders", columns=["o_orderkey", "o_custkey"])
+        OFF = 1_000_000_000
+
+        def to_edges(b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].cast(pa.int64())
+            ok = pa.compute.add(
+                b["o_orderkey"].cast(pa.int64()), pa.scalar(OFF, pa.int64())
+            )
+            return pa.table(
+                {
+                    "src": pa.concat_arrays([ck.combine_chunks(), ok.combine_chunks()]),
+                    "dst": pa.concat_arrays([ok.combine_chunks(), ck.combine_chunks()]),
+                }
+            )
+
+        edges = orders.map_batches(to_edges, batch_format="pyarrow")
+        texts = walk_texts(random_walks(edges, walk_len=4, n_reps=2))
+        proj, model = pp(
+            texts, k=4, window=4, min_count=2, n_context=32, return_model=True
+        )
+        proj = proj.materialize()
+        vecs = model["tokens"].to_pandas()
+        _require(len(vecs), "no node vectors produced")
+        _require(vecs["vec_id"].nunique() == len(vecs), "vec_id fnv collision")
+        # tokens must parse as node ids (the astype raises otherwise) and
+        # be positive: walk sentences contain nothing but graph nodes
+        ids = vecs["token"].astype("int64")
+        _require(bool((ids >= 0).all()), "non-node token in walk vocabulary")
+        w, evals = model["components"], model["eigenvalues"]
+        _require(
+            bool(np.allclose(w.T @ w, np.eye(w.shape[1]), atol=1e-9)),
+            "PCA components not orthonormal",
+        )
+        _require(
+            bool(np.all(np.diff(evals) <= 1e-12)), "eigenvalues not descending"
+        )
+        _require(proj.count() == 4 * len(vecs), "projection rows != 4 per node")
+        return proj
+
+    q["node_vectors"] = node_vectors
+
     def gram_matrix(sf):
         """Exact integer Gram matrix of the embedding column (upper
         triangle) — the distributed covariance/PCA building block; each

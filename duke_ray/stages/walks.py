@@ -207,3 +207,43 @@ def random_walks(
     for o in outputs[1:]:
         out = out.union(o)
     return out
+
+
+def walk_texts(
+    walks: "ray.data.Dataset", n_meta: int = 64
+) -> "ray.data.Dataset":
+    """(walk_id, step, node) rows -> (walk_id, text) walk sentences:
+    node ids space-joined in step order — the bridge from graph walks to
+    every text-side operator (co-occurrence, PPMI vectors, dedup,
+    packing). One walk_id-keyed exchange; sentence assembly is the
+    run-boundary concat of stages/pack.py (walks are short, so each
+    partition's work is a vectorized sort + one binary_join)."""
+    from ..state.exchange import partitioned_reduce
+
+    def assemble(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "walk_id": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                }
+            )
+        t = t.take(
+            pc.sort_indices(
+                t, sort_keys=[("walk_id", "ascending"), ("step", "ascending")]
+            )
+        )
+        wid = t["walk_id"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, wid[1:] != wid[:-1]])
+        toks = pc.cast(t["node"], pa.string()).combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[starts, len(wid)], pa.int32()), toks
+        )
+        return pa.table(
+            {
+                "walk_id": pa.array(wid[starts], pa.int64()),
+                "text": pc.binary_join(lists, " "),
+            }
+        )
+
+    return partitioned_reduce(walks, "walk_id", assemble, n_meta=n_meta)

@@ -76,3 +76,34 @@ def test_walks_validation(ray_session):
         random_walks(ds, walk_len=0)
     with pytest.raises(ValueError):
         random_walks(ds, n_reps=0)
+
+
+def test_walk_texts_assembles_in_step_order(ray_session):
+    from duke_ray.stages.walks import walk_texts
+
+    rows = pa.table(
+        {
+            "walk_id": pa.array([7, 7, 7, 9, 9], pa.int64()),
+            "step": pa.array([2, 0, 1, 1, 0], pa.int64()),
+            "node": pa.array([30, 10, 20, 55, 44], pa.int64()),
+        }
+    )
+    out = walk_texts(ray.data.from_arrow(rows).repartition(3)).to_pandas()
+    got = dict(zip(out["walk_id"], out["text"]))
+    assert got == {7: "10 20 30", 9: "44 55"}
+
+
+def test_walks_to_texts_end_to_end(ray_session):
+    from duke_ray.stages.walks import walk_texts
+
+    src = np.array([1, 2, 3], np.int64)
+    dst = np.array([2, 3, 1], np.int64)  # 3-cycle: no sinks
+    ds = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    walks = random_walks(ds, walk_len=3, n_reps=1)
+    out = walk_texts(walks).to_pandas()
+    assert len(out) == 3
+    # each sentence is the deterministic cycle path of length 4
+    ref = _scalar_walks(src, dst, 3, 1)
+    for wid, text in zip(out["walk_id"], out["text"]):
+        path = [str(ref[(int(wid), s)]) for s in range(4)]
+        assert text == " ".join(path)
