@@ -151,6 +151,10 @@ def random_walks(
             _tag(0, {"id": "node", "dst": zeros, "walk_id": "walk_id"}),
             batch_format="pyarrow",
         )
+        # rebuilt lazily per step ON PURPOSE: the tag map fuses into the
+        # exchange (materializing it once measured no faster at 10M edges)
+        # and would otherwise hold a second full tagged copy of the edge
+        # table across the loop — the wrong memory shape at scale
         e_u = adj.map_batches(
             _tag(1, {"id": "id", "dst": "dst", "walk_id": zeros}),
             batch_format="pyarrow",
