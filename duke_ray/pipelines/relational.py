@@ -324,6 +324,103 @@ def events_sliding_hourly(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def follow_window(sf_dir: str, window_minutes: int = 10) -> "ray.data.Dataset":
+    """RANGE JOIN (self, per user): for every event, the count and
+    value-milli sum of the SAME user's events in the following
+    ``window_minutes`` — the attribution-window shape (click -> follow-on
+    actions). Equality joins, as-of joins and anti-joins exist elsewhere;
+    this is the interval-predicate member of the join family.
+
+    Topology: ONE user-keyed exchange; inside each partition events sort
+    once by a packed (user, relative-ts) int64 key, both interval
+    endpoints resolve by vectorized ``searchsorted`` on that key, and the
+    windowed sum is a prefix-sum difference — no per-event Python, no
+    pair materialization (the join's output is aggregated in place, so
+    nothing quadratic ever exists even for a user with every event in
+    one window)."""
+    from ..state.exchange import partitioned_reduce
+
+    win_us = window_minutes * 60_000_000
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "vm": pc.cast(
+                    pc.round(
+                        pc.multiply(batch["value"], pa.scalar(1000.0)),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    SHIFT = np.int64(1) << np.int64(44)
+
+    def window_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "n_follow": pa.array([], pa.int64()),
+                    "sum_follow_milli": pa.array([], pa.int64()),
+                }
+            )
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        rel = ts - ts.min()
+        if int(rel.max()) + win_us >= int(SHIFT):
+            raise ValueError(
+                "time span too wide for the packed range-join key; "
+                "shard the input by time range first"
+            )
+        if int(user.max()) >= (1 << 19):
+            raise ValueError(
+                "user_id too large for the packed range-join key "
+                "(needs user * 2^44 in int64); remap ids first"
+            )
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        vm = t["vm"].to_numpy(zero_copy_only=False)
+        packed = user * SHIFT + rel
+        order = np.argsort(packed, kind="stable")
+        packed, eid_s, vm_s = packed[order], eid[order], vm[order]
+        csum = np.concatenate([[0], np.cumsum(vm_s)])
+        lo = np.searchsorted(packed, packed, side="right")
+        hi = np.searchsorted(packed, packed + win_us, side="right")
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s, pa.int64()),
+                "n_follow": pa.array(hi - lo, pa.int64()),
+                "sum_follow_milli": pa.array(csum[hi] - csum[lo], pa.int64()),
+            }
+        )
+
+    rows = ev.map_batches(to_rows, batch_format="pyarrow", batch_size=65536)
+    return partitioned_reduce(rows, "user_id", window_partition, n_meta=64)
+
+
+def follow_window_sql(window_minutes: int = 10) -> str:
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 1000) AS BIGINT) AS vm
+  FROM events
+)
+SELECT a.event_id,
+       CAST(COUNT(b.event_id) AS BIGINT) AS n_follow,
+       CAST(COALESCE(SUM(b.vm), 0) AS BIGINT) AS sum_follow_milli
+FROM e a LEFT JOIN e b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL {window_minutes} MINUTE
+GROUP BY a.event_id
+"""
+
+
 EVENTS_SLIDING_SQL = """
 SELECT event_type,
        time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'

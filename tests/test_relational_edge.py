@@ -217,3 +217,41 @@ def test_events_sliding_fanout_invariants(ray_session):
     hours = ns // 3_600_000_000_000
     import numpy as _np
     assert len(_np.unique(ns)) > len(_np.unique(hours))
+
+
+def test_follow_window_range_join(ray_session, tmp_path, monkeypatch):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duke_ray.pipelines.relational import follow_window
+
+    # user 1: events at t=0, 5min, 10min, 10min+1us; user 2: one event at 5min
+    base = 1_700_000_000_000_000
+    m = 60_000_000
+    rows = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [base, base + 5 * m, base + 10 * m, base + 10 * m + 1, base + 5 * m],
+                pa.timestamp("us"),
+            ),
+            "value": pa.array([1.0, 2.0, 4.0, 8.0, 100.0], pa.float64()),
+        }
+    )
+    pq.write_table(rows, str(tmp_path / "events.parquet"))
+    out = (
+        follow_window(str(tmp_path), window_minutes=10)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # event 1 window (0, 10min]: events 2 and 3 (boundary INCLUSIVE), not 4
+    assert out.loc[1, "n_follow"] == 2 and out.loc[1, "sum_follow_milli"] == 6000
+    # event 2 window (5, 15min]: events 3 and 4
+    assert out.loc[2, "n_follow"] == 2 and out.loc[2, "sum_follow_milli"] == 12000
+    # event 3 window: only event 4 (1us later)
+    assert out.loc[3, "n_follow"] == 1 and out.loc[3, "sum_follow_milli"] == 8000
+    assert out.loc[4, "n_follow"] == 0 and out.loc[4, "sum_follow_milli"] == 0
+    # user isolation: user 2 sees nothing from user 1
+    assert out.loc[5, "n_follow"] == 0
