@@ -125,6 +125,31 @@ def run_bench() -> dict:
     ).count()
     timings["prep_training_data"] = round(time.time() - t0, 3)
 
+    # r5 export-side prep: deterministic shuffle layout + sequence packing
+    # (manifest exchanges move only (id, n_tokens, key) rows)
+    from duke_ray.stages.pack import pack_manifest
+    from duke_ray.stages.shuffle import shuffle_manifest
+
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    def _with_tokens(b: "pa.Table") -> "pa.Table":
+        toks = _pc.split_pattern(_pc.fill_null(b["text"], ""), pattern=" ")
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "n_tokens": _pc.list_value_length(toks).cast(pa.int64()),
+            }
+        )
+
+    t0 = time.time()
+    docs = read_table(SF_DIR, "documents", columns=["doc_id", "text"]).map_batches(
+        _with_tokens, batch_format="pyarrow"
+    )
+    shuffle_manifest(docs, n_parts=256).count()
+    pack_manifest(docs, budget=2048, n_buckets=256).count()
+    timings["shuffle_pack"] = round(time.time() - t0, 3)
+
     result = {
         "metric": "kg_pipeline_sec",
         "value": timings["kg_pipeline"],
