@@ -166,3 +166,37 @@ def prep_training_data_to_dir(
         chunks, out_dir, key_cols=["doc_id", "chunk_idx"], n_buckets=n_buckets,
         fingerprint=fingerprint,
     )
+
+
+def prep_training_data_shuffled_to_dir(
+    docs: "ray.data.Dataset",
+    out_dir: str,
+    n_parts: int = 16,
+    fingerprint: str = "",
+    **prep_kwargs,
+) -> dict:
+    """:func:`prep_training_data` landed in DETERMINISTIC-SHUFFLE order
+    (stages/shuffle.py): the end-to-end "filter -> dedup -> chunk ->
+    split -> shuffle -> shard" training-export story. Chunks are keyed by
+    the string "doc_id:chunk_idx" (a pure function of the input), so the
+    permutation — and therefore every shard's contents and internal order
+    — is bit-identical across runs and cluster widths, and a killed run
+    resumes paying only missing shards (shuffle_export manifest
+    contract). Reading bucket=0..P-1 in order replays the same
+    pseudo-random chunk stream every time."""
+    from ..stages.shuffle import shuffle_export_to_dir
+
+    chunks = prep_training_data(docs, **prep_kwargs)
+
+    def with_key(b: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(b["doc_id"], pa.string()),
+            pc.cast(b["chunk_idx"], pa.string()),
+            ":",
+        )
+        return b.append_column("chunk_key", key)
+
+    keyed = chunks.map_batches(with_key, batch_format="pyarrow")
+    return shuffle_export_to_dir(
+        keyed, out_dir, n_parts=n_parts, id_col="chunk_key", fingerprint=fingerprint
+    )

@@ -178,3 +178,37 @@ def test_adaptive_length_filter_band(ray_session):
         pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
     )
     assert adaptive_length_filter(empty).count() == 0
+
+
+def test_prep_shuffled_to_dir_round_trip(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from duke_ray.pipelines.prep import (
+        prep_training_data,
+        prep_training_data_shuffled_to_dir,
+    )
+    from duke_ray.sources import read_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = read_table(sf, "documents", columns=["doc_id", "text"])
+    out = str(tmp_path / "shuffled")
+    res = prep_training_data_shuffled_to_dir(docs, out, n_parts=16, fingerprint="p1")
+    total = sum(res["rows"].values())
+    expect = prep_training_data(
+        read_table(sf, "documents", columns=["doc_id", "text"])
+    ).to_pandas()
+    assert total == len(expect)
+    got = []
+    for p in range(16):
+        f = os.path.join(out, f"bucket={p}", "data.parquet")
+        if os.path.exists(f):
+            t = pq.read_table(f)
+            assert "chunk_key" in t.column_names  # the shuffle key column
+            got += list(zip(t["doc_id"].to_pylist(), t["chunk_idx"].to_pylist()))
+    assert sorted(got) == sorted(zip(expect["doc_id"], expect["chunk_idx"]))
+    # determinism: a second run to a fresh dir lands identical shard sizes
+    out2 = str(tmp_path / "shuffled2")
+    res2 = prep_training_data_shuffled_to_dir(docs, out2, n_parts=16, fingerprint="p1")
+    assert res["rows"] == res2["rows"]
