@@ -44,6 +44,11 @@ def _keyed_rows(
     ds: "ray.data.Dataset", id_col: str, tokens_col: str, k: int
 ) -> "ray.data.Dataset":
     def per_batch(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if pc.any(pc.is_null(b[tokens_col])).as_py():
+            # a null length would poison the prefix sums silently
+            raise ValueError(f"null {tokens_col} in pack input; fill or drop first")
         keys = _md5_hex(b[id_col], _KEY_HEX)
         return pa.table(
             {

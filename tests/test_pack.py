@@ -153,3 +153,51 @@ def test_pack_export_empty_input(ray_session):
         )
     )
     assert len(pack_export(ds, budget=128).to_pandas()) == 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n=st.integers(1, 120),
+    budget=st.integers(1, 50),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_pack_partition_property_vs_scalar(n, budget, seed):
+    # pure-kernel property: _pack_partition on ONE partition holding all
+    # buckets must agree with the scalar greedy model for any sizes
+    from duke_ray.stages.pack import _pack_partition
+    from duke_ray.stages.sampling import _md5_hex
+    from duke_ray.stages.shuffle import _KEY_HEX, _hex_part
+
+    rng = np.random.default_rng(seed)
+    ids = rng.choice(np.arange(1, 10 * n), size=n, replace=False).astype(np.int64)
+    toks = rng.integers(0, 3 * budget, n).astype(np.int64)
+    keys = _md5_hex(pa.array(ids, pa.int64()), _KEY_HEX)
+    t = pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(toks, pa.int64()),
+            "skey": pa.array(keys),
+            "bucket": pa.array(_hex_part(keys, 1), pa.int64()),
+        }
+    )
+    out = _pack_partition(t, budget, manifest=False).to_pandas()
+    ref = _ref(ids, toks, budget)
+    got = {int(r.doc_id): (int(r.bucket), int(r.seq_id)) for r in out.itertuples()}
+    assert got == ref
+
+
+def test_pack_rejects_null_tokens(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "n_tokens": pa.array([5, None], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="null n_tokens"):
+        pack_manifest(ds, budget=16).to_pandas()
