@@ -338,10 +338,18 @@ def follow_window(sf_dir: str, window_minutes: int = 10) -> "ray.data.Dataset":
     pair materialization (the join's output is aggregated in place, so
     nothing quadratic ever exists even for a user with every event in
     one window)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return follow_window_over(ev, window_minutes=window_minutes)
+
+
+def follow_window_over(
+    ev: "ray.data.Dataset", window_minutes: int = 10
+) -> "ray.data.Dataset":
+    """Dataset-input core of :func:`follow_window` (events need
+    event_id/user_id/ts/value columns) — also the endurance entry."""
     from ..state.exchange import partitioned_reduce
 
     win_us = window_minutes * 60_000_000
-    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
     def to_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
