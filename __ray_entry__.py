@@ -647,6 +647,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["shuffle_manifest"] = shuffle_manifest
 
+    def sample_exact_k(sf):
+        """Exactly k=200 uniform docs: global smallest (md5, id) ranks
+        via per-block partial top-k + one k-bounded merge
+        (stages/sampling.py:global_hash_topk)."""
+        from duke_ray.stages.sampling import global_hash_topk
+
+        docs = read_table(sf, "documents", columns=["doc_id"])
+        return global_hash_topk(docs, k=200)
+
+    q["sample_exact_k"] = sample_exact_k
+
     def pack_sequences(sf):
         """Per-sequence manifest of fixed 512-token training packing
         (stages/pack.py): docs in deterministic-shuffle order per hash
@@ -2493,6 +2504,13 @@ SELECT CAST(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS BIGINT) AS par
        MIN(skey) AS min_key, MAX(skey) AS max_key,
        CAST(SUM(doc_id) AS BIGINT) AS sum_id
 FROM keyed GROUP BY 1
+"""
+
+    sql["sample_exact_k"] = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS rank_hex
+FROM documents
+ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+LIMIT 200
 """
 
     sql["pack_sequences"] = """

@@ -123,6 +123,47 @@ def stratified_hash_topk(
     )
 
 
+def global_hash_topk(
+    docs: "ray.data.Dataset", k: int, id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """EXACTLY min(k, N) rows: the k smallest (md5(str(id)), id) ranks
+    globally — "give me exactly 100k uniform docs", the exact-size
+    companion of :func:`hash_sample` (whose rate-based keep is only
+    binomially close to a target size). Deterministic, unbiased (md5
+    rank is uniform), coordination-free: each block emits <= k partial
+    rows, and ONE k-bounded merge task picks the global winners — the
+    corpus never shuffles and nothing unbounded reaches any single task
+    beyond n_blocks * k metadata rows. Oracle: ORDER BY md5, id LIMIT k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "rank_hex": pa.array([], pa.string()),
+                }
+            )
+        h = _md5_hex(batch[id_col], 32)
+        ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                "rank_hex": pa.array(h[order]),
+            }
+        )
+
+    partials = docs.map_batches(partial, batch_format="pyarrow", batch_size=16384)
+    # all surviving partials merge in one task (<= n_blocks * k rows);
+    # batch_size=None hands the whole block to one final partial() call
+    return partials.repartition(1).map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+
+
 def token_budget_head(
     docs: "ray.data.Dataset",
     budget: int,

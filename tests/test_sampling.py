@@ -214,3 +214,20 @@ def test_weighted_sample_validates(ray_session):
     )
     with pytest.raises(ValueError):
         weighted_sample(ds, "w", 0)
+
+
+def test_global_hash_topk_exact_k(ray_session):
+    import hashlib
+
+    from duke_ray.stages.sampling import global_hash_topk
+
+    ids = np.arange(1, 501, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"doc_id": ids})).repartition(7)
+    out = global_hash_topk(ds, k=40).to_pandas()
+    ref = sorted((hashlib.md5(str(i).encode()).hexdigest(), int(i)) for i in ids)[:40]
+    assert len(out) == 40
+    assert sorted(zip(out["rank_hex"], out["doc_id"])) == ref
+    # k > N returns everything; layout does not matter
+    assert len(global_hash_topk(ds.repartition(1), k=10_000).to_pandas()) == 500
+    with pytest.raises(ValueError):
+        global_hash_topk(ds, k=0)
