@@ -658,6 +658,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["sample_exact_k"] = sample_exact_k
 
+    def value_histogram(sf):
+        """Fixed 25-bin histogram of events.value over [0, 500) on the
+        integer milli grid (stages/textstats.py:value_histogram) — one
+        map pass, bounded bin-keyed exchange."""
+        from duke_ray.stages.textstats import value_histogram as vh
+
+        ev = read_table(sf, "events", columns=["value"])
+        return vh(ev, "value", lo_milli=0, hi_milli=500_000, n_bins=25)
+
+    q["value_histogram"] = value_histogram
+
     def pack_sequences(sf):
         """Per-sequence manifest of fixed 512-token training packing
         (stages/pack.py): docs in deterministic-shuffle order per hash
@@ -2504,6 +2515,17 @@ SELECT CAST(strpos('0123456789abcdef', substr(skey, 1, 1)) - 1 AS BIGINT) AS par
        MIN(skey) AS min_key, MAX(skey) AS max_key,
        CAST(SUM(doc_id) AS BIGINT) AS sum_id
 FROM keyed GROUP BY 1
+"""
+
+    sql["value_histogram"] = """
+WITH v AS (
+  SELECT CAST(ROUND(value * 1000) AS BIGINT) AS vm FROM events
+)
+SELECT (vm - 0) * 25 // 500000 AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vm) AS BIGINT) AS sum_milli
+FROM v WHERE vm >= 0 AND vm < 500000
+GROUP BY 1
 """
 
     sql["sample_exact_k"] = """

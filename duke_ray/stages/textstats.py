@@ -555,6 +555,55 @@ def rank_bounds(
     return lt, le, int(parts["n"].sum())
 
 
+def value_histogram(
+    ds: "ray.data.Dataset",
+    col: str,
+    lo_milli: int,
+    hi_milli: int,
+    n_bins: int = 20,
+    n_meta: int = 16,
+) -> "ray.data.Dataset":
+    """Fixed-bin histogram of a continuous column on the milli grid ->
+    (bin, n, sum_milli) for values in [lo_milli, hi_milli); out-of-range
+    rows are excluded (SQL WHERE parity, not clamped). Bin assignment is
+    pure integer arithmetic — ``(vm - lo) * n_bins // (hi - lo)`` — so
+    the result value-hashes against DuckDB exactly. One map pass emits
+    per-batch bin partials (<= n_bins rows each); the only exchange is a
+    bin-keyed grouped_sum over those bounded partials."""
+    from ..state.exchange import grouped_sum
+
+    if hi_milli <= lo_milli:
+        raise ValueError("hi_milli must be > lo_milli")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    span = hi_milli - lo_milli
+    if span > (2**63 - 1) // n_bins:
+        raise ValueError("span * n_bins overflows int64; widen bins")
+
+    def partial(b: pa.Table) -> pa.Table:
+        vm = pc.cast(
+            pc.round(
+                pc.multiply(b[col], pa.scalar(1000.0)),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        vm = vm[(vm >= lo_milli) & (vm < hi_milli)]
+        bins = (vm - lo_milli) * n_bins // span
+        t = pa.table(
+            {
+                "bin": pa.array(bins, pa.int64()),
+                "n": pa.array(np.ones(len(vm), np.int64)),
+                "sum_milli": pa.array(vm, pa.int64()),
+            }
+        )
+        g = t.group_by("bin").aggregate([("n", "sum"), ("sum_milli", "sum")])
+        return g.rename_columns(["bin", "n", "sum_milli"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return grouped_sum(partials, "bin", {"n": "n", "sum_milli": "sum_milli"}, n_meta=n_meta)
+
+
 def sketch_quantiles_by_group(
     ds: "ray.data.Dataset",
     group_col: str,

@@ -215,3 +215,22 @@ def test_sketch_quantiles_by_group_nulls_and_validation(ray_session):
         sketch_quantiles_by_group(
             ray.data.from_arrow(t), "seg", "value", qs_milli=(1001,)
         )
+
+
+def test_value_histogram_exact(ray_session):
+    from duke_ray.stages.textstats import value_histogram
+
+    vals = np.array([0.0, 0.25, 0.4999, 0.5, 0.9999, 1.0, -0.1], np.float64)
+    ds = ray.data.from_arrow(pa.table({"value": pa.array(vals, pa.float64())}))
+    out = (
+        value_histogram(ds, "value", lo_milli=0, hi_milli=1000, n_bins=2)
+        .to_pandas()
+        .set_index("bin")
+        .sort_index()
+    )
+    # [0, 500): 0, 250, 499.9->500? ROUND(499.9)=500 -> bin 1. Recompute:
+    # vm = round(v*1000): 0,250,500(!),500,1000(excluded),1000(excl),-100(excl)
+    assert out.loc[0, "n"] == 2 and out.loc[0, "sum_milli"] == 250
+    assert out.loc[1, "n"] == 2 and out.loc[1, "sum_milli"] == 1000
+    with pytest.raises(ValueError):
+        value_histogram(ds, "value", lo_milli=5, hi_milli=5)
