@@ -324,6 +324,118 @@ def events_sliding_hourly(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def shipping_priority(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    cutoff: str = "1997-06-15",
+    k: int = 10,
+) -> "ray.data.Dataset":
+    """Q3-shaped shipping-priority query: top-``k`` orders by
+    outstanding revenue — customers in ``segment``, orders placed before
+    ``cutoff``, revenue from lineitems shipped after ``cutoff``.
+
+    Join strategy at 100-TB shape: the segment-filtered customer keys
+    broadcast once (customer is the 1/10-of-orders dimension, same
+    treatment as regional_revenue's supplier lookup); lineitem
+    pre-aggregates revenue cents per orderkey behind the shipdate filter
+    before the ONE large-large hash join against the filtered orders;
+    the final top-k is per-block partial top-k + a k-bounded merge (the
+    joined per-order table never sorts globally). Output:
+    (o_orderkey, o_orderdate, revenue_cents), revenue desc / orderkey
+    asc under ties."""
+    import ray
+
+    from ..state.exchange import grouped_sum
+
+    cutoff_ts = np.datetime64(cutoff, "us").astype(np.int64)
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = pa.array(
+        cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy(np.int64),
+        pa.int64(),
+    )
+    keys_ref = ray.put(keys)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def order_filter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(b["o_orderdate"].cast(pa.int64()), pa.scalar(cutoff_ts)),
+            pc.is_in(b["o_custkey"].cast(pa.int64()), value_set=ray.get(keys_ref)),
+        )
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+            }
+        ).filter(pc.fill_null(keep, False))
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(
+            pc.fill_null(
+                pc.greater(b["l_shipdate"].cast(pa.int64()), pa.scalar(cutoff_ts)),
+                False,
+            )
+        )
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table(
+            {"o_orderkey": b["l_orderkey"].cast(pa.int64()), "rev": _cents(rev)}
+        )
+        g = t.group_by("o_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_orderkey", "rev"])
+
+    rev = grouped_sum(
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536),
+        "o_orderkey",
+        {"rev": "revenue_cents"},
+    )
+    joined = rev.join(
+        orders.map_batches(order_filter, batch_format="pyarrow", batch_size=65536),
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("o_orderkey",),
+    )
+
+    def topk(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        r = b["revenue_cents"].to_numpy(zero_copy_only=False)
+        ok = b["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, -r))[:k]
+        return b.take(pa.array(order))
+
+    partials = joined.map_batches(topk, batch_format="pyarrow", batch_size=65536)
+    return partials.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None
+    )
+
+
+def shipping_priority_sql(
+    segment: str = "BUILDING", cutoff: str = "1997-06-15", k: int = 10
+) -> str:
+    return f"""
+WITH rev AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem WHERE l_shipdate > TIMESTAMP '{cutoff}'
+  GROUP BY 1
+)
+SELECT r.o_orderkey, o.o_orderdate, r.revenue_cents
+FROM rev r
+JOIN orders o ON o.o_orderkey = r.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = '{segment}' AND o.o_orderdate < TIMESTAMP '{cutoff}'
+ORDER BY r.revenue_cents DESC, r.o_orderkey ASC
+LIMIT {k}
+"""
+
+
 def follow_window(sf_dir: str, window_minutes: int = 10) -> "ray.data.Dataset":
     """RANGE JOIN (self, per user): for every event, the count and
     value-milli sum of the SAME user's events in the following
