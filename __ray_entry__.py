@@ -669,6 +669,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["value_histogram"] = value_histogram
 
+    def value_histogram_by_type(sf):
+        """Per-event-type fixed-bin histograms in one pass (grouped
+        variant of value_histogram)."""
+        from duke_ray.stages.textstats import value_histogram as vh
+
+        ev = read_table(sf, "events", columns=["event_type", "value"])
+        return vh(
+            ev, "value", lo_milli=0, hi_milli=500_000, n_bins=10,
+            group_col="event_type",
+        )
+
+    q["value_histogram_by_type"] = value_histogram_by_type
+
     def pack_sequences(sf):
         """Per-sequence manifest of fixed 512-token training packing
         (stages/pack.py): docs in deterministic-shuffle order per hash
@@ -2527,6 +2540,17 @@ SELECT (vm - 0) * 25 // 500000 AS bin,
        CAST(SUM(vm) AS BIGINT) AS sum_milli
 FROM v WHERE vm >= 0 AND vm < 500000
 GROUP BY 1
+"""
+
+    sql["value_histogram_by_type"] = """
+WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS vm FROM events
+)
+SELECT event_type, (vm - 0) * 10 // 500000 AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vm) AS BIGINT) AS sum_milli
+FROM v WHERE vm >= 0 AND vm < 500000
+GROUP BY 1, 2
 """
 
     sql["sample_exact_k"] = """

@@ -561,15 +561,17 @@ def value_histogram(
     lo_milli: int,
     hi_milli: int,
     n_bins: int = 20,
+    group_col: str | None = None,
     n_meta: int = 16,
 ) -> "ray.data.Dataset":
     """Fixed-bin histogram of a continuous column on the milli grid ->
     (bin, n, sum_milli) for values in [lo_milli, hi_milli); out-of-range
-    rows are excluded (SQL WHERE parity, not clamped). Bin assignment is
-    pure integer arithmetic — ``(vm - lo) * n_bins // (hi - lo)`` — so
-    the result value-hashes against DuckDB exactly. One map pass emits
-    per-batch bin partials (<= n_bins rows each); the only exchange is a
-    bin-keyed grouped_sum over those bounded partials."""
+    rows are excluded (SQL WHERE parity, not clamped). With ``group_col``
+    the output is one histogram per group ((group, bin, n, sum_milli)).
+    Bin assignment is pure integer arithmetic — ``(vm - lo) * n_bins //
+    (hi - lo)`` — so the result value-hashes against DuckDB exactly. One
+    map pass emits per-batch partials (<= groups x n_bins rows each);
+    the only exchange is a grouped_sum over those bounded partials."""
     from ..state.exchange import grouped_sum
 
     if hi_milli <= lo_milli:
@@ -579,29 +581,35 @@ def value_histogram(
     span = hi_milli - lo_milli
     if span > (2**63 - 1) // n_bins:
         raise ValueError("span * n_bins overflows int64; widen bins")
+    keys = ["bin"] if group_col is None else [group_col, "bin"]
 
     def partial(b: pa.Table) -> pa.Table:
-        vm = pc.cast(
+        vm_all = pc.cast(
             pc.round(
                 pc.multiply(b[col], pa.scalar(1000.0)),
                 round_mode="half_towards_infinity",
             ),
             pa.int64(),
         ).to_numpy(zero_copy_only=False)
-        vm = vm[(vm >= lo_milli) & (vm < hi_milli)]
+        keep = (vm_all >= lo_milli) & (vm_all < hi_milli)
+        vm = vm_all[keep]
         bins = (vm - lo_milli) * n_bins // span
-        t = pa.table(
-            {
-                "bin": pa.array(bins, pa.int64()),
-                "n": pa.array(np.ones(len(vm), np.int64)),
-                "sum_milli": pa.array(vm, pa.int64()),
-            }
-        )
-        g = t.group_by("bin").aggregate([("n", "sum"), ("sum_milli", "sum")])
-        return g.rename_columns(["bin", "n", "sum_milli"])
+        cols = {
+            "bin": pa.array(bins, pa.int64()),
+            "n": pa.array(np.ones(len(vm), np.int64)),
+            "sum_milli": pa.array(vm, pa.int64()),
+        }
+        if group_col is not None:
+            g_arr = b[group_col]
+            if isinstance(g_arr, pa.ChunkedArray):
+                g_arr = g_arr.combine_chunks()
+            cols = {group_col: g_arr.filter(pa.array(keep)), **cols}
+        t = pa.table(cols)
+        g = t.group_by(keys).aggregate([("n", "sum"), ("sum_milli", "sum")])
+        return g.rename_columns(keys + ["n", "sum_milli"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    return grouped_sum(partials, "bin", {"n": "n", "sum_milli": "sum_milli"}, n_meta=n_meta)
+    return grouped_sum(partials, keys, {"n": "n", "sum_milli": "sum_milli"}, n_meta=n_meta)
 
 
 def sketch_quantiles_by_group(
