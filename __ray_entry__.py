@@ -1950,6 +1950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_sliding"] = rel.events_sliding_hourly
     q["follow_window"] = rel.follow_window
     q["shipping_priority"] = rel.shipping_priority
+    q["large_volume_customers"] = rel.large_volume_customers
     q["user_event_spans"] = rel.user_event_spans
     q["distinct_segments"] = rel.distinct_segments
     q["user_sessions"] = rel.user_sessions
@@ -3335,6 +3336,7 @@ LATERAL (SELECT unnest(generate_series(
     sql["events_sliding"] = rel.EVENTS_SLIDING_SQL
     sql["follow_window"] = rel.follow_window_sql()
     sql["shipping_priority"] = rel.shipping_priority_sql()
+    sql["large_volume_customers"] = rel.large_volume_customers_sql()
     sql["user_event_spans"] = rel.USER_EVENT_SPANS_SQL
     sql["distinct_segments"] = rel.DISTINCT_SEGMENTS_SQL
     sql["first_event_per_user"] = """

@@ -436,6 +436,100 @@ LIMIT {k}
 """
 
 
+def large_volume_customers(
+    sf_dir: str, min_qty: int = 320
+) -> "ray.data.Dataset":
+    """Q18-shaped HAVING semijoin: orders whose total lineitem quantity
+    exceeds ``min_qty``, with their customer -> (c_custkey, c_name,
+    o_orderkey, total_qty). The HAVING side is a grouped_sum over
+    (orderkey, qty) partials filtered BEFORE any join (output-bounded:
+    only the big orders' keys reach the join); customer names attach via
+    a broadcast dimension lookup; the one large-large join is
+    orders x big-order-keys. Quantities are integer-valued doubles in
+    TPC-H — cast to int64 per row so sums are exact at any summation
+    order."""
+    import ray
+
+    from ..state.exchange import grouped_sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderkey": b["l_orderkey"].cast(pa.int64()),
+                "qty": b["l_quantity"].cast(pa.int64()),
+            }
+        )
+        g = t.group_by("o_orderkey").aggregate([("qty", "sum")])
+        return g.rename_columns(["o_orderkey", "qty"])
+
+    per_order = grouped_sum(
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536),
+        "o_orderkey",
+        {"qty": "total_qty"},
+    )
+    big = per_order.map_batches(
+        lambda b: b.filter(
+            pc.greater(b["total_qty"], pa.scalar(min_qty, pa.int64()))
+        ),
+        batch_format="pyarrow",
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = big.join(
+        orders.map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                    "o_custkey": b["o_custkey"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=join_partitions(),
+        on=("o_orderkey",),
+    )
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    lookup_ref = ray.put(
+        (
+            pa.array(cust["c_custkey"].to_numpy(np.int64), pa.int64()),
+            pa.array(cust["c_name"], pa.string()),
+        )
+    )
+
+    def attach_name(b: pa.Table) -> pa.Table:
+        keys, names = ray.get(lookup_ref)
+        idx = pc.index_in(b["o_custkey"], value_set=keys)
+        return pa.table(
+            {
+                "c_custkey": b["o_custkey"],
+                "c_name": pc.take(names, idx),
+                "o_orderkey": b["o_orderkey"],
+                "total_qty": b["total_qty"],
+            }
+        )
+
+    return joined.map_batches(attach_name, batch_format="pyarrow")
+
+
+def large_volume_customers_sql(min_qty: int = 320) -> str:
+    return f"""
+WITH big AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > {min_qty}
+)
+SELECT c.c_custkey, c.c_name, b.o_orderkey, b.total_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
 def follow_window(sf_dir: str, window_minutes: int = 10) -> "ray.data.Dataset":
     """RANGE JOIN (self, per user): for every event, the count and
     value-milli sum of the SAME user's events in the following
