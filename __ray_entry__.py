@@ -1951,6 +1951,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["follow_window"] = rel.follow_window
     q["shipping_priority"] = rel.shipping_priority
     q["large_volume_customers"] = rel.large_volume_customers
+    q["customer_distribution"] = rel.customer_distribution
+    q["part_revenue_share"] = rel.part_revenue_share
+    q["inactive_customers"] = rel.inactive_customers
+    q["priority_semijoin"] = rel.priority_semijoin
+    q["events_pivot"] = rel.events_pivot
+    q["brand_supplier_counts"] = rel.brand_supplier_counts
     q["user_event_spans"] = rel.user_event_spans
     q["distinct_segments"] = rel.distinct_segments
     q["user_sessions"] = rel.user_sessions
@@ -3337,6 +3343,12 @@ LATERAL (SELECT unnest(generate_series(
     sql["follow_window"] = rel.follow_window_sql()
     sql["shipping_priority"] = rel.shipping_priority_sql()
     sql["large_volume_customers"] = rel.large_volume_customers_sql()
+    sql["customer_distribution"] = rel.CUSTOMER_DISTRIBUTION_SQL
+    sql["part_revenue_share"] = rel.part_revenue_share_sql()
+    sql["inactive_customers"] = rel.inactive_customers_sql()
+    sql["priority_semijoin"] = rel.PRIORITY_SEMIJOIN_SQL
+    sql["events_pivot"] = rel.EVENTS_PIVOT_SQL
+    sql["brand_supplier_counts"] = rel.brand_supplier_counts_sql()
     sql["user_event_spans"] = rel.USER_EVENT_SPANS_SQL
     sql["distinct_segments"] = rel.DISTINCT_SEGMENTS_SQL
     sql["first_event_per_user"] = """

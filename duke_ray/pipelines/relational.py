@@ -1488,3 +1488,493 @@ FROM (
   FROM lineitem JOIN part ON p_partkey = l_partkey
 )
 """
+
+
+# Q13-shaped customer order-count distribution -------------------------------
+
+def customer_distribution(sf_dir: str) -> pa.Table:
+    """Histogram of per-customer order counts INCLUDING zero-order
+    customers (TPC-H Q13 shape, reference has no equivalent — engine
+    coverage for left-join count distributions).
+
+    Scale shape: the left join never happens — per-customer counts come
+    from one grouped_sum exchange over orders partials (customer-key
+    cardinality), the zero bucket is arithmetic: |customer| minus the
+    number of distinct ordering customers. Both scans prune to one
+    column; only customer-cardinality count rows and a ~|distinct
+    counts| histogram cross the wire."""
+    from ..state.exchange import grouped_sum
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_custkey": batch["o_custkey"].cast(pa.int64()),
+                "n": pa.array(np.ones(len(batch), np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("o_custkey").aggregate([("n", "sum")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    per_cust = grouped_sum(
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "o_custkey",
+        {"n": "c_count"},
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_count": b["c_count"],
+                "custdist": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by("c_count").aggregate([("custdist", "sum")])
+        return g.rename_columns(["c_count", "custdist"])
+
+    hist = grouped_sum(
+        per_cust.map_batches(hist_partial, batch_format="pyarrow", batch_size=65536),
+        "c_count",
+        {"custdist": "custdist"},
+        n_meta=16,
+    ).to_pandas()
+
+    n_customers = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
+    n_with_orders = int(hist["custdist"].sum())
+    n_zero = n_customers - n_with_orders
+    if n_zero < 0:
+        raise ValueError("orders reference more customers than the customer table holds")
+    counts = list(hist["c_count"].astype("int64"))
+    dists = list(hist["custdist"].astype("int64"))
+    if n_zero > 0:
+        counts.append(0)
+        dists.append(n_zero)
+    return pa.table({"c_count": pa.array(counts, pa.int64()), "custdist": pa.array(dists, pa.int64())})
+
+
+CUSTOMER_DISTRIBUTION_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# Q11-shaped global-share filter ----------------------------------------------
+
+def part_revenue_share(sf_dir: str, mult: int = 1) -> "ray.data.Dataset":
+    """Parts whose discounted revenue is strictly above ``mult`` x the MEAN
+    per-part revenue (TPC-H Q11's HAVING-share-of-global-total shape).
+
+    Two-pass share pattern: per-partkey revenue via one grouped_sum
+    exchange, materialized ONCE (aggregate-sized — |part| rows, never the
+    lineitem corpus); the global total and group count are driver scalars
+    over that same materialized table, broadcast back as a closure constant
+    for the final filter. The threshold is mean-relative so the survivor
+    fraction is scale-invariant (a fixed global fraction went empty as part
+    cardinality grew). ``rev > (mult*total)//n_parts`` is exactly
+    ``rev*n_parts > mult*total`` for positive ints — no overflow, no float."""
+    from ray.data.aggregate import Sum as RaySum
+
+    from ..state.exchange import grouped_sum
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        t = pa.table({"l_partkey": batch["l_partkey"].cast(pa.int64()), "cents": _cents(rev)})
+        g = t.group_by("l_partkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["l_partkey", "cents"])
+
+    per_part = grouped_sum(
+        li.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        "l_partkey",
+        {"cents": "revenue_cents"},
+    ).materialize()
+
+    total = per_part.aggregate(RaySum("revenue_cents", alias_name="total"))["total"]
+    n_parts = per_part.count()
+    if n_parts == 0:
+        return per_part
+    threshold = (mult * int(total)) // n_parts
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["revenue_cents"], pa.scalar(threshold, pa.int64())))
+
+    return per_part.map_batches(keep, batch_format="pyarrow", batch_size=65536)
+
+
+def part_revenue_share_sql(mult: int = 1) -> str:
+    return f"""
+SELECT l_partkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY l_partkey
+HAVING CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+       > ({mult} * (SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                    FROM lineitem))
+         // (SELECT COUNT(DISTINCT l_partkey) FROM lineitem)
+"""
+
+
+# Q22-shaped large-large anti-join --------------------------------------------
+
+def inactive_customers(sf_dir: str, priority: str = "1-URGENT") -> "ray.data.Dataset":
+    """Per-nation count + balance total of customers with above-average
+    positive account balance and NO order of the given priority (TPC-H
+    Q22 shape: scalar-subquery filter + anti-join).
+
+    Scale shape: the average-balance gate is integer cross-multiplication
+    (bal*n_pos > sum_pos — no float division) from one driver scalar pass;
+    the anti-join is hash-partitioned, NOT broadcast: candidate customer
+    rows and deduped order-custkey markers co-locate by custkey in one
+    partitioned_reduce, so both sides stream at any cardinality. Output
+    rolls up to ~|nation| rows."""
+    import ray
+    from ray.data.aggregate import Sum as RaySum
+
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def bal_partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b["c_acctbal"])
+        pos = pc.greater(cents, pa.scalar(0, pa.int64()))
+        kept = cents.filter(pos)
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(kept).as_py() or 0], pa.int64()),
+                "n": pa.array([len(kept)], pa.int64()),
+            }
+        )
+
+    stats = cust.map_batches(bal_partial, batch_format="pyarrow", batch_size=65536).aggregate(
+        RaySum("s", alias_name="s"), RaySum("n", alias_name="n")
+    )
+    sum_pos, n_pos = int(stats["s"]), int(stats["n"])
+    if n_pos and sum_pos > (2**62) // max(n_pos, 1):
+        raise ValueError("balance cross-multiplication would overflow int64")
+
+    def candidates(b: pa.Table) -> pa.Table:
+        cents = b["c_acctbal"]
+        bal = _cents(cents)
+        keep = pc.greater(
+            pc.multiply(bal, pa.scalar(n_pos, pa.int64())), pa.scalar(sum_pos, pa.int64())
+        )
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "custkey": t["c_custkey"].cast(pa.int64()),
+                "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+                "bal_cents": _cents(t["c_acctbal"]),
+                "kind": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def markers(b: pa.Table) -> pa.Table:
+        keys = b.filter(pc.equal(b["o_orderpriority"], pa.scalar(priority)))["o_custkey"]
+        u = keys.cast(pa.int64()).combine_chunks().unique()
+        return pa.table(
+            {
+                "custkey": u,
+                "c_nationkey": pa.nulls(len(u), pa.int64()),
+                "bal_cents": pa.nulls(len(u), pa.int64()),
+                "kind": pa.array(np.ones(len(u), np.int8), pa.int8()),
+            }
+        )
+
+    both = cust.map_batches(candidates, batch_format="pyarrow", batch_size=65536).union(
+        orders.map_batches(markers, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def anti(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        c = t.filter(pa.array(kind == 0))
+        m = t.filter(pa.array(kind == 1))
+        if m.num_rows:
+            hit = pc.is_in(c["custkey"], value_set=m["custkey"].combine_chunks().unique())
+            c = c.filter(pc.invert(hit))
+        g = pa.table(
+            {
+                "c_nationkey": c["c_nationkey"],
+                "numcust": pa.array(np.ones(c.num_rows, np.int64), pa.int64()),
+                "totbal_cents": c["bal_cents"],
+            }
+        ).group_by("c_nationkey").aggregate([("numcust", "sum"), ("totbal_cents", "sum")])
+        return g.rename_columns(["c_nationkey", "numcust", "totbal_cents"])
+
+    per_nation = grouped_sum(
+        partitioned_reduce(both, "custkey", anti),
+        "c_nationkey",
+        {"numcust": "numcust", "totbal_cents": "totbal_cents"},
+        n_meta=8,
+    )
+
+    nat = read_table(sf_dir, "nation").to_pandas()
+    names_ref = ray.put(
+        (pa.array(nat["n_nationkey"].astype("int64"), pa.int64()), pa.array(nat["n_name"], pa.string()))
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        keys, names = ray.get(names_ref)
+        idx = pc.index_in(b["c_nationkey"], value_set=keys)
+        return pa.table(
+            {
+                "n_name": pc.take(names, idx),
+                "numcust": b["numcust"],
+                "totbal_cents": b["totbal_cents"],
+            }
+        )
+
+    return per_nation.map_batches(attach, batch_format="pyarrow")
+
+
+def inactive_customers_sql(priority: str = "1-URGENT") -> str:
+    return f"""
+WITH pos AS (
+  SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bc FROM customer
+  WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0
+)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust, CAST(SUM(bc) AS BIGINT) AS totbal_cents
+FROM (SELECT c_custkey, c_nationkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bc FROM customer) c
+JOIN nation ON c_nationkey = n_nationkey
+WHERE bc * (SELECT COUNT(*) FROM pos) > (SELECT SUM(bc) FROM pos)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '{priority}'
+  )
+GROUP BY n_name
+"""
+
+
+# Q4-shaped semi-join ---------------------------------------------------------
+
+def priority_semijoin(sf_dir: str) -> "ray.data.Dataset":
+    """Order counts per priority among orders having >=1 heavily-discounted
+    bulk lineitem (TPC-H Q4's EXISTS shape).
+
+    Large-large semi-join without a Dataset.join: qualifying lineitem
+    orderkeys dedup per batch, then co-locate with order rows by orderkey
+    in ONE partitioned_reduce; each partition keeps matching orders and
+    emits ~|priorities| count partials. Nothing order-cardinality survives
+    past the exchange."""
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_discount", "l_quantity"])
+
+    def markers(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(b["l_discount"], pa.scalar(0.05)),
+            pc.greater(b["l_quantity"], pa.scalar(45.0)),
+        )
+        u = b.filter(keep)["l_orderkey"].cast(pa.int64()).combine_chunks().unique()
+        return pa.table(
+            {
+                "orderkey": u,
+                "priority": pa.nulls(len(u), pa.string()),
+                "kind": pa.array(np.ones(len(u), np.int8), pa.int8()),
+            }
+        )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def order_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": b["o_orderkey"].cast(pa.int64()),
+                "priority": b["o_orderpriority"],
+                "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    both = orders.map_batches(order_rows, batch_format="pyarrow", batch_size=65536).union(
+        li.map_batches(markers, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def semi(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        o = t.filter(pa.array(kind == 0))
+        m = t.filter(pa.array(kind == 1))
+        hit = pc.is_in(o["orderkey"], value_set=m["orderkey"].combine_chunks().unique())
+        kept = o.filter(hit)
+        g = pa.table(
+            {
+                "o_orderpriority": kept["priority"],
+                "order_count": pa.array(np.ones(kept.num_rows, np.int64), pa.int64()),
+            }
+        ).group_by("o_orderpriority").aggregate([("order_count", "sum")])
+        return g.rename_columns(["o_orderpriority", "order_count"])
+
+    return grouped_sum(
+        partitioned_reduce(both, "orderkey", semi),
+        "o_orderpriority",
+        {"order_count": "order_count"},
+        n_meta=8,
+    )
+
+
+PRIORITY_SEMIJOIN_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_discount > 0.05 AND l_quantity > 45
+)
+GROUP BY o_orderpriority
+"""
+
+
+# conditional-aggregation pivot -----------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> pa.Table:
+    """Daily event counts pivoted wide — one row per day, one int64 column
+    per event type (conditional-aggregation pivot; reference has no
+    equivalent, generic engine coverage).
+
+    One corpus scan emits per-batch (day, type) count partials via C++
+    group_by; one tiny grouped_sum exchange (~days*types rows); the wide
+    reshape happens driver-side on the aggregate-sized result. Unknown
+    event types fail loudly rather than silently dropping counts."""
+    from ..state.exchange import grouped_sum
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day": pc.strftime(b["ts"], format="%Y-%m-%d"),
+                "event_type": b["event_type"],
+                "n": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+        g = t.group_by(["day", "event_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["day", "event_type", "n"])
+
+    long = grouped_sum(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["day", "event_type"],
+        {"n": "n"},
+        n_meta=16,
+    ).to_pandas()
+
+    unknown = set(long["event_type"]) - set(EVENT_TYPES)
+    if unknown:
+        raise ValueError(f"events_pivot: unexpected event types {sorted(unknown)}")
+    wide = long.pivot_table(index="day", columns="event_type", values="n", fill_value=0, aggfunc="sum")
+    wide = wide.reindex(columns=list(EVENT_TYPES), fill_value=0).reset_index()
+    cols = {"day": pa.array(wide["day"], pa.string())}
+    for t in EVENT_TYPES:
+        cols[t] = pa.array(wide[t].astype("int64"), pa.int64())
+    return pa.table(cols)
+
+
+EVENTS_PIVOT_SQL = """
+SELECT STRFTIME(ts, '%Y-%m-%d') AS day,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY day
+"""
+
+
+# Q16-shaped exact COUNT(DISTINCT) per group ------------------------------------
+
+def brand_supplier_counts(sf_dir: str, exclude_brand: str = "Brand#13") -> "ray.data.Dataset":
+    """Distinct supplier count per (brand, size band) over lineitem (TPC-H
+    Q16 shape: dimension-filtered exact COUNT(DISTINCT) at fact scale).
+
+    Part is the broadcast side (TPC-H scales it ~1/30 of lineitem rows;
+    like regional_revenue's supplier lookup, it would move to a hash join
+    if it outgrew worker heap). Each lineitem batch packs
+    (suppkey, brand, band) into ONE int64 and dedups locally, so the
+    exchange carries near-distinct keys only; the partitioned_reduce
+    dedups globally and emits ~|brand x band| count partials."""
+    import ray
+
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    part = read_table(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).to_pandas()
+    part = part[part["p_brand"] != exclude_brand]
+    brands = sorted(part["p_brand"].unique())
+    if len(brands) >= 32:
+        raise ValueError("packed key assumes < 32 brands")
+    brand_code = {b: i for i, b in enumerate(brands)}
+    lookup_ref = ray.put(
+        (
+            pa.array(part["p_partkey"].astype("int64"), pa.int64()),
+            part["p_brand"].map(brand_code).to_numpy(dtype=np.int64),
+            (part["p_size"].to_numpy(dtype=np.int64) // 10),
+        )
+    )
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        keys, bcodes, bands = ray.get(lookup_ref)
+        idx = pc.index_in(b["l_partkey"].cast(pa.int64()), value_set=keys)
+        valid = pc.is_valid(idx)
+        iv = idx.filter(valid).to_numpy(zero_copy_only=False)
+        supp = b["l_suppkey"].cast(pa.int64()).filter(valid).to_numpy(zero_copy_only=False)
+        if supp.size and supp.max() >= (1 << 55):
+            raise ValueError("suppkey too large for packed (supp, brand, band) key")
+        if bands.size and bands.max() >= 8:
+            raise ValueError("size band >= 8 does not fit the packed key")
+        k = (supp << 8) | (bcodes[iv] << 3) | bands[iv]
+        u = pa.array(np.unique(k), pa.int64())
+        return pa.table({"k": u})
+
+    packed = li.map_batches(pack, batch_format="pyarrow", batch_size=65536)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        k = np.unique(t["k"].to_numpy(zero_copy_only=False))
+        g = pa.table(
+            {
+                "brand_code": pa.array((k >> 3) & 31, pa.int64()),
+                "size_band": pa.array(k & 7, pa.int64()),
+                "cnt": pa.array(np.ones(k.size, np.int64), pa.int64()),
+            }
+        ).group_by(["brand_code", "size_band"]).aggregate([("cnt", "sum")])
+        return g.rename_columns(["brand_code", "size_band", "cnt"])
+
+    per_group = grouped_sum(
+        partitioned_reduce(packed, "k", count_partial),
+        ["brand_code", "size_band"],
+        {"cnt": "supplier_cnt"},
+        n_meta=16,
+    )
+
+    names_ref = ray.put(pa.array(brands, pa.string()))
+
+    def attach(b: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        return pa.table(
+            {
+                "p_brand": pc.take(names, b["brand_code"]),
+                "size_band": b["size_band"],
+                "supplier_cnt": b["supplier_cnt"],
+            }
+        )
+
+    return per_group.map_batches(attach, batch_format="pyarrow")
+
+
+def brand_supplier_counts_sql(exclude_brand: str = "Brand#13") -> str:
+    return f"""
+SELECT p_brand, CAST(p_size // 10 AS BIGINT) AS size_band,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{exclude_brand}'
+GROUP BY p_brand, size_band
+"""

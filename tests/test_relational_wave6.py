@@ -1,0 +1,227 @@
+"""Edge semantics of the round-5 relational wave: Q13-shaped zero bucket,
+Q11 mean-threshold strictness, Q22 anti-join + integer average gate, Q4
+semi-join multiplicity, pivot unknown-type guard, Q16 distinct-count dedup
+and packed-key guards. All on crafted tables that exercise the boundary
+paths the sf corpora don't."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from duke_ray.pipelines.relational import (
+    brand_supplier_counts,
+    customer_distribution,
+    events_pivot,
+    inactive_customers,
+    part_revenue_share,
+    priority_semijoin,
+)
+
+BASE = 1_700_000_000_000_000
+
+
+def _write(tmp_path, name: str, cols: dict) -> None:
+    pq.write_table(pa.table(cols), str(tmp_path / f"{name}.parquet"))
+
+
+def _sf(tmp_path) -> str:
+    return str(tmp_path)
+
+
+def test_customer_distribution_zero_bucket(ray_session, tmp_path):
+    """Customers with no orders must appear as an explicit c_count=0 row
+    (the arithmetic zero bucket), not vanish."""
+    _write(tmp_path, "customer", {"c_custkey": pa.array([1, 2, 3, 4], pa.int64())})
+    _write(tmp_path, "orders", {"o_custkey": pa.array([1, 1, 2], pa.int64())})
+    got = {
+        (r["c_count"], r["custdist"])
+        for r in customer_distribution(_sf(tmp_path)).to_pylist()
+    }
+    assert got == {(2, 1), (1, 1), (0, 2)}
+
+
+def test_customer_distribution_foreign_custkey_raises(ray_session, tmp_path):
+    """More distinct ordering customers than customer rows means the zero
+    bucket would go negative — fail loudly instead of emitting nonsense."""
+    _write(tmp_path, "customer", {"c_custkey": pa.array([1], pa.int64())})
+    _write(tmp_path, "orders", {"o_custkey": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError, match="more customers"):
+        customer_distribution(_sf(tmp_path))
+
+
+def test_part_revenue_share_strictly_above_mean(ray_session, tmp_path):
+    """rev > (total)//n_parts with strict comparison: a part exactly AT the
+    mean must not survive; all-equal revenues yield an empty result."""
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 2, 3], pa.int64()),
+            "l_extendedprice": pa.array([1.0, 1.0, 4.0], pa.float64()),
+            "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+        },
+    )
+    rows = part_revenue_share(_sf(tmp_path)).take_all()
+    assert [(r["l_partkey"], r["revenue_cents"]) for r in rows] == [(3, 400)]
+
+    tmp2 = tmp_path / "equal"
+    tmp2.mkdir()
+    _write(
+        tmp2,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 2], pa.int64()),
+            "l_extendedprice": pa.array([2.0, 2.0], pa.float64()),
+            "l_discount": pa.array([0.0, 0.0], pa.float64()),
+        },
+    )
+    assert part_revenue_share(str(tmp2)).count() == 0
+
+
+def test_inactive_customers_gate_and_antijoin(ray_session, tmp_path):
+    """Positive-balance average gate is strict (exactly-average excluded,
+    negative balances excluded from the average), and a customer with ANY
+    matching-priority order is anti-joined away while other priorities
+    don't shield it."""
+    # positive cents: 300, 300, 100 -> sum_pos 700, n_pos 3; strict gate
+    # bal*3 > 700: 300 passes (900), 100 fails (300), -50 excluded from both
+    # cust 1: passes gate, has a 1-URGENT order -> anti-joined away
+    # cust 2: passes gate, only 5-LOW orders -> kept
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_nationkey": pa.array([0, 0, 0, 1], pa.int32()),
+            "c_acctbal": pa.array([3.0, 3.0, 1.0, -0.5], pa.float64()),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_custkey": pa.array([1, 2, 2], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW", "5-LOW"], pa.string()),
+        },
+    )
+    _write(
+        tmp_path,
+        "nation",
+        {
+            "n_nationkey": pa.array([0, 1], pa.int32()),
+            "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+            "n_regionkey": pa.array([0, 0], pa.int32()),
+        },
+    )
+    rows = inactive_customers(_sf(tmp_path)).take_all()
+    assert [(r["n_name"], r["numcust"], r["totbal_cents"]) for r in rows] == [("ALPHA", 1, 300)]
+
+
+def test_priority_semijoin_counts_order_once(ray_session, tmp_path):
+    """An order with three qualifying lineitems counts ONCE (EXISTS, not
+    join multiplicity); boundary values (discount == 0.05, qty == 45) do
+    not qualify."""
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+            "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "5-LOW"], pa.string()),
+        },
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([10, 10, 10, 11, 12], pa.int64()),
+            "l_discount": pa.array([0.06, 0.07, 0.08, 0.05, 0.06], pa.float64()),
+            "l_quantity": pa.array([46.0, 47.0, 50.0, 50.0, 45.0], pa.float64()),
+        },
+    )
+    rows = priority_semijoin(_sf(tmp_path)).take_all()
+    assert [(r["o_orderpriority"], r["order_count"]) for r in rows] == [("1-URGENT", 1)]
+
+
+def test_events_pivot_fill_and_unknown_guard(ray_session, tmp_path):
+    """Missing (day, type) cells fill with 0; an event type outside the
+    fixed pivot schema raises instead of dropping counts silently."""
+    _write(
+        tmp_path,
+        "events",
+        {
+            "ts": pa.array([BASE, BASE, BASE + 86_400_000_000], pa.timestamp("us")),
+            "event_type": pa.array(["click", "view", "click"], pa.string()),
+        },
+    )
+    t = events_pivot(_sf(tmp_path))
+    assert t.num_rows == 2
+    d = {r["day"]: r for r in t.to_pylist()}
+    days = sorted(d)
+    assert d[days[0]]["click"] == 1 and d[days[0]]["view"] == 1 and d[days[0]]["purchase"] == 0
+    assert d[days[1]]["click"] == 1 and d[days[1]]["view"] == 0
+
+    tmp2 = tmp_path / "bad"
+    tmp2.mkdir()
+    _write(
+        tmp2,
+        "events",
+        {
+            "ts": pa.array([BASE], pa.timestamp("us")),
+            "event_type": pa.array(["hover"], pa.string()),
+        },
+    )
+    with pytest.raises(ValueError, match="unexpected event types"):
+        events_pivot(str(tmp2))
+
+
+def test_brand_supplier_counts_dedup_exclude_and_guard(ray_session, tmp_path):
+    """The same (brand, band, supplier) triple repeated across lineitems
+    counts once; the excluded brand's lineitems drop entirely; a suppkey
+    beyond the packed-key range raises."""
+    _write(
+        tmp_path,
+        "part",
+        {
+            "p_partkey": pa.array([1, 2, 3], pa.int64()),
+            "p_brand": pa.array(["Brand#1", "Brand#1", "Brand#13"], pa.string()),
+            "p_size": pa.array([9, 10, 5], pa.int32()),
+        },
+    )
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            # part 1 (band 0) supp 7 twice -> 1; part 2 (band 1) supps 7,8 -> 2;
+            # part 3 excluded brand
+            "l_partkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "l_suppkey": pa.array([7, 7, 7, 8, 9], pa.int64()),
+        },
+    )
+    rows = brand_supplier_counts(_sf(tmp_path)).take_all()
+    got = {(r["p_brand"], r["size_band"]): r["supplier_cnt"] for r in rows}
+    assert got == {("Brand#1", 0): 1, ("Brand#1", 1): 2}
+
+    tmp2 = tmp_path / "big"
+    tmp2.mkdir()
+    _write(
+        tmp2,
+        "part",
+        {
+            "p_partkey": pa.array([1], pa.int64()),
+            "p_brand": pa.array(["Brand#1"], pa.string()),
+            "p_size": pa.array([1], pa.int32()),
+        },
+    )
+    _write(
+        tmp2,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1], pa.int64()),
+            "l_suppkey": pa.array([1 << 56], pa.int64()),
+        },
+    )
+    with pytest.raises(Exception, match="suppkey too large"):
+        brand_supplier_counts(str(tmp2)).take_all()
