@@ -1957,6 +1957,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["priority_semijoin"] = rel.priority_semijoin
     q["events_pivot"] = rel.events_pivot
     q["brand_supplier_counts"] = rel.brand_supplier_counts
+    q["event_gaps"] = rel.event_gaps
+    q["top_event_type_per_user"] = rel.top_event_type_per_user
     q["user_event_spans"] = rel.user_event_spans
     q["distinct_segments"] = rel.distinct_segments
     q["user_sessions"] = rel.user_sessions
@@ -3349,6 +3351,8 @@ LATERAL (SELECT unnest(generate_series(
     sql["priority_semijoin"] = rel.PRIORITY_SEMIJOIN_SQL
     sql["events_pivot"] = rel.EVENTS_PIVOT_SQL
     sql["brand_supplier_counts"] = rel.brand_supplier_counts_sql()
+    sql["event_gaps"] = rel.event_gaps_sql()
+    sql["top_event_type_per_user"] = rel.TOP_EVENT_TYPE_SQL
     sql["user_event_spans"] = rel.USER_EVENT_SPANS_SQL
     sql["distinct_segments"] = rel.DISTINCT_SEGMENTS_SQL
     sql["first_event_per_user"] = """

@@ -1978,3 +1978,135 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> '{exclude_brand}'
 GROUP BY p_brand, size_band
 """
+
+
+# LAG-window gap distribution ---------------------------------------------------
+
+def event_gaps(sf_dir: str, cap_minutes: int = 60) -> "ray.data.Dataset":
+    """Distribution of per-user inter-event gaps in whole minutes, capped
+    at ``cap_minutes`` (LAG-window coverage; complements user_sessions'
+    gap THRESHOLD with the full gap histogram).
+
+    Same meta-partitioned window topology as user_sessions: users hash
+    into partitions, ONE lexsort + vectorized diff per partition computes
+    every user's consecutive gaps (a user's first event emits none), and
+    each partition returns ~cap_minutes count partials — the exchange
+    output is bounded by the bucket range, not the event count."""
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    def gaps_partition(t: pa.Table) -> pa.Table:
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts_us = t["ts_us"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts_us, user))
+        u, tsu = user[order], ts_us[order]
+        same_user = np.zeros(len(u), dtype=bool)
+        same_user[1:] = u[1:] == u[:-1]
+        gap_us = np.zeros(len(u), dtype=np.int64)
+        gap_us[1:] = tsu[1:] - tsu[:-1]
+        bucket = np.minimum(gap_us[same_user] // 60_000_000, cap_minutes)
+        g = pa.table(
+            {
+                "gap_bucket_min": pa.array(bucket, pa.int64()),
+                "n_gaps": pa.array(np.ones(bucket.size, np.int64), pa.int64()),
+            }
+        ).group_by("gap_bucket_min").aggregate([("n_gaps", "sum")])
+        return g.rename_columns(["gap_bucket_min", "n_gaps"])
+
+    rows = ev.map_batches(to_rows, batch_format="pyarrow", batch_size=65536)
+    return grouped_sum(
+        partitioned_reduce(rows, "user_id", gaps_partition),
+        "gap_bucket_min",
+        {"n_gaps": "n_gaps"},
+        n_meta=8,
+    )
+
+
+def event_gaps_sql(cap_minutes: int = 60) -> str:
+    # NB: the NULL filter must run BEFORE the cap — DuckDB's LEAST ignores
+    # NULL arguments, so LEAST(NULL_lag_diff, cap) = cap would count every
+    # user's first event as a max-bucket gap.
+    return f"""
+SELECT CAST(LEAST(gap_us // 60000000, {cap_minutes}) AS BIGINT) AS gap_bucket_min,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps
+FROM (
+  SELECT epoch_us(ts) - epoch_us(LAG(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events
+)
+WHERE gap_us IS NOT NULL
+GROUP BY gap_bucket_min
+"""
+
+
+# per-group mode (argmax count) --------------------------------------------------
+
+def top_event_type_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """Each user's most frequent event type with its count — distributed
+    per-group MODE with a deterministic tiebreak (higher count, then
+    lexicographically smallest type).
+
+    ONE user-keyed exchange: batches pre-aggregate (user, type) counts
+    (C++ group_by, bounded by |types| x |users-in-batch|), the partition
+    reduce sums them, Arrow-sorts by (user, count desc, type asc), and
+    keeps each user's first row via a vectorized boundary mask. Output is
+    user-cardinality; nothing event-cardinality crosses the wire."""
+    from ..state.exchange import partitioned_reduce
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        ).group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    def mode_partition(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["user_id", "event_type", "n"])
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[("user_id", "ascending"), ("n", "descending"), ("event_type", "ascending")],
+        )
+        s = g.take(idx)
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        out = s.filter(pa.array(first))
+        return pa.table(
+            {
+                "user_id": out["user_id"],
+                "top_type": out["event_type"],
+                "n_events": out["n"],
+            }
+        )
+
+    partials = ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partitioned_reduce(partials, "user_id", mode_partition)
+
+
+TOP_EVENT_TYPE_SQL = """
+SELECT user_id, event_type AS top_type, CAST(n AS BIGINT) AS n_events
+FROM (
+  SELECT user_id, event_type, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY COUNT(*) DESC, event_type ASC) AS rk
+  FROM events
+  GROUP BY user_id, event_type
+)
+WHERE rk = 1
+"""

@@ -12,6 +12,8 @@ import pyarrow.parquet as pq
 import pytest
 
 from duke_ray.pipelines.relational import (
+    event_gaps,
+    top_event_type_per_user,
     brand_supplier_counts,
     customer_distribution,
     events_pivot,
@@ -225,3 +227,38 @@ def test_brand_supplier_counts_dedup_exclude_and_guard(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="suppkey too large"):
         brand_supplier_counts(str(tmp2)).take_all()
+
+
+def test_event_gaps_cap_zero_and_single(ray_session, tmp_path):
+    """Gap of exactly cap minutes lands IN the cap bucket, same-timestamp
+    events produce a zero bucket, and a single-event user emits no gap."""
+    m = 60_000_000  # one minute in us
+    _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+            # user 1: gap 0 (tie), then exactly 60 min; user 2: 61 min
+            # (capped); user 3: single event -> nothing
+            "ts": pa.array([BASE, BASE, BASE + 60 * m, BASE, BASE + 61 * m, BASE], pa.timestamp("us")),
+        },
+    )
+    got = {r["gap_bucket_min"]: r["n_gaps"] for r in event_gaps(_sf(tmp_path)).take_all()}
+    assert got == {0: 1, 60: 2}
+
+
+def test_top_event_type_tiebreak(ray_session, tmp_path):
+    """Equal counts resolve to the lexicographically smallest type; the
+    winner is by count first (a 2-count 'view' beats a 1-count 'click')."""
+    _write(
+        tmp_path,
+        "events",
+        {
+            "user_id": pa.array([1, 1, 2, 2, 2], pa.int64()),
+            "event_type": pa.array(["view", "click", "view", "view", "click"], pa.string()),
+        },
+    )
+    rows = top_event_type_per_user(_sf(tmp_path)).take_all()
+    got = {(r["user_id"]): (r["top_type"], r["n_events"]) for r in rows}
+    assert got == {1: ("click", 1), 2: ("view", 2)}
