@@ -1959,6 +1959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["brand_supplier_counts"] = rel.brand_supplier_counts
     q["event_gaps"] = rel.event_gaps
     q["top_event_type_per_user"] = rel.top_event_type_per_user
+    q["events_debounce"] = rel.events_debounce
+    q["cumulative_users"] = rel.cumulative_users
     q["user_event_spans"] = rel.user_event_spans
     q["distinct_segments"] = rel.distinct_segments
     q["user_sessions"] = rel.user_sessions
@@ -3353,6 +3355,8 @@ LATERAL (SELECT unnest(generate_series(
     sql["brand_supplier_counts"] = rel.brand_supplier_counts_sql()
     sql["event_gaps"] = rel.event_gaps_sql()
     sql["top_event_type_per_user"] = rel.TOP_EVENT_TYPE_SQL
+    sql["events_debounce"] = rel.events_debounce_sql()
+    sql["cumulative_users"] = rel.CUMULATIVE_USERS_SQL
     sql["user_event_spans"] = rel.USER_EVENT_SPANS_SQL
     sql["distinct_segments"] = rel.DISTINCT_SEGMENTS_SQL
     sql["first_event_per_user"] = """

@@ -2110,3 +2110,128 @@ FROM (
 )
 WHERE rk = 1
 """
+
+
+# time-window debounce dedup ------------------------------------------------------
+
+def events_debounce(sf_dir: str, min_gap_seconds: int = 3600) -> "ray.data.Dataset":
+    """Debounce dedup: drop an event when the PREVIOUS event of the same
+    (user, type) stream is within ``min_gap_seconds`` (LAG semantics — the
+    gap is measured to the previous raw event, not the previous kept one;
+    documented so the greedy-chain variant isn't assumed).
+
+    One user-keyed exchange (the finer (user, type) segmentation happens
+    vectorized inside the partition — coarse key keeps the int fast-path
+    hash and bounds partition count); each partition lexsorts once and
+    emits only surviving rows."""
+    from ..state.exchange import partitioned_reduce
+
+    gap_us = min_gap_seconds * 1_000_000
+    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"])
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"].cast(pa.int64()),
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "event_type": batch["event_type"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+            }
+        )
+
+    def debounce_partition(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[
+                ("user_id", "ascending"),
+                ("event_type", "ascending"),
+                ("ts_us", "ascending"),
+                ("event_id", "ascending"),
+            ],
+        )
+        s = t.take(idx)
+        u = s["user_id"].to_numpy(zero_copy_only=False)
+        ty = s["event_type"].to_numpy(zero_copy_only=False)
+        tsu = s["ts_us"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        keep = np.ones(n, dtype=bool)
+        if n > 1:
+            same = (u[1:] == u[:-1]) & (ty[1:] == ty[:-1])
+            keep[1:] = ~same | ((tsu[1:] - tsu[:-1]) > gap_us)
+        return s.filter(pa.array(keep)).select(["event_id", "user_id", "event_type"])
+
+    rows = ev.map_batches(to_rows, batch_format="pyarrow", batch_size=65536)
+    return partitioned_reduce(rows, "user_id", debounce_partition)
+
+
+def events_debounce_sql(min_gap_seconds: int = 3600) -> str:
+    return f"""
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+WHERE gap_us IS NULL OR gap_us > {min_gap_seconds * 1_000_000}
+"""
+
+
+# running distinct count ----------------------------------------------------------
+
+def cumulative_users(sf_dir: str) -> pa.Table:
+    """New and cumulative distinct users per day of first activity —
+    running COUNT(DISTINCT) without ever shipping a distinct set: each
+    user collapses to their MIN timestamp in one user-keyed exchange
+    (min-reduce partials per batch first), days aggregate to ~|days|
+    count rows, and the prefix sum runs driver-side on that
+    aggregate-sized result."""
+    from ..state.exchange import partitioned_reduce
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def min_partial(batch: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.int64()),
+            }
+        ).group_by("user_id").aggregate([("ts_us", "min")])
+        return g.rename_columns(["user_id", "ts_us"])
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        g = t.group_by("user_id").aggregate([("ts_us", "min")])
+        day = pc.strftime(g["ts_us_min"].cast(pa.timestamp("us")), format="%Y-%m-%d")
+        out = pa.table(
+            {
+                "day": day,
+                "new_users": pa.array(np.ones(g.num_rows, np.int64), pa.int64()),
+            }
+        ).group_by("day").aggregate([("new_users", "sum")])
+        return out.rename_columns(["day", "new_users"])
+
+    partials = ev.map_batches(min_partial, batch_format="pyarrow", batch_size=65536)
+    per_day = (
+        partitioned_reduce(partials, "user_id", day_counts)
+        .to_pandas()
+        .groupby("day", as_index=False)["new_users"]
+        .sum()
+        .sort_values("day")
+    )
+    new = per_day["new_users"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "day": pa.array(per_day["day"], pa.string()),
+            "new_users": pa.array(new, pa.int64()),
+            "cum_users": pa.array(np.cumsum(new), pa.int64()),
+        }
+    )
+
+
+CUMULATIVE_USERS_SQL = """
+WITH firsts AS (SELECT user_id, MIN(ts) AS fts FROM events GROUP BY user_id),
+     per_day AS (SELECT STRFTIME(fts, '%Y-%m-%d') AS day, COUNT(*) AS new_users
+                 FROM firsts GROUP BY day)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM per_day
+"""

@@ -12,6 +12,8 @@ import pyarrow.parquet as pq
 import pytest
 
 from duke_ray.pipelines.relational import (
+    cumulative_users,
+    events_debounce,
     event_gaps,
     top_event_type_per_user,
     brand_supplier_counts,
@@ -262,3 +264,49 @@ def test_top_event_type_tiebreak(ray_session, tmp_path):
     rows = top_event_type_per_user(_sf(tmp_path)).take_all()
     got = {(r["user_id"]): (r["top_type"], r["n_events"]) for r in rows}
     assert got == {1: ("click", 1), 2: ("view", 2)}
+
+
+def test_events_debounce_lag_not_chain(ray_session, tmp_path):
+    """Debounce measures the gap to the previous RAW event of the same
+    (user, type) — a dropped event still anchors the next gap — and an
+    event of a DIFFERENT type in between does not reset the stream."""
+    g = 3600 * 1_000_000  # default min gap in us
+    _write(
+        tmp_path,
+        "events",
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["click", "click", "view", "click", "click"], pa.string()),
+            # click stream for user 1: t, t+0.5g (drops), t+1.6g (gap 1.1g
+            # to previous raw click -> kept, even though a 'view' sits in
+            # between); user 2 single event kept
+            "ts": pa.array(
+                [BASE, BASE + g // 2, BASE + g, BASE + g // 2 + g * 11 // 10, BASE],
+                pa.timestamp("us"),
+            ),
+        },
+    )
+    kept = {r["event_id"] for r in events_debounce(_sf(tmp_path)).take_all()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_cumulative_users_prefix_sum(ray_session, tmp_path):
+    """A user's first-ever event day claims them once; later days count
+    only genuinely new users, and the running total is a strict prefix
+    sum over day order."""
+    day_us = 86_400_000_000
+    _write(
+        tmp_path,
+        "events",
+        {
+            "user_id": pa.array([1, 1, 2, 3, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [BASE, BASE + day_us, BASE + day_us, BASE + day_us, BASE + 2 * day_us, BASE + 2 * day_us],
+                pa.timestamp("us"),
+            ),
+        },
+    )
+    t = cumulative_users(_sf(tmp_path)).to_pylist()
+    assert [(r["new_users"], r["cum_users"]) for r in t] == [(1, 1), (2, 3)]
+    assert t[0]["day"] < t[1]["day"]
