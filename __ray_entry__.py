@@ -1961,6 +1961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["top_event_type_per_user"] = rel.top_event_type_per_user
     q["events_debounce"] = rel.events_debounce
     q["cumulative_users"] = rel.cumulative_users
+    q["cohort_retention"] = rel.cohort_retention
     q["user_event_spans"] = rel.user_event_spans
     q["distinct_segments"] = rel.distinct_segments
     q["user_sessions"] = rel.user_sessions
@@ -3357,6 +3358,7 @@ LATERAL (SELECT unnest(generate_series(
     sql["top_event_type_per_user"] = rel.TOP_EVENT_TYPE_SQL
     sql["events_debounce"] = rel.events_debounce_sql()
     sql["cumulative_users"] = rel.CUMULATIVE_USERS_SQL
+    sql["cohort_retention"] = rel.COHORT_RETENTION_SQL
     sql["user_event_spans"] = rel.USER_EVENT_SPANS_SQL
     sql["distinct_segments"] = rel.DISTINCT_SEGMENTS_SQL
     sql["first_event_per_user"] = """

@@ -1624,6 +1624,20 @@ HAVING CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
 # Q22-shaped large-large anti-join --------------------------------------------
 
 def inactive_customers(sf_dir: str, priority: str = "1-URGENT") -> "ray.data.Dataset":
+    """sf-dir wrapper over :func:`inactive_customers_over` — see there for
+    the topology."""
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+    nation = read_table(sf_dir, "nation").to_pandas()
+    return inactive_customers_over(cust, orders, nation, priority=priority)
+
+
+def inactive_customers_over(
+    cust: "ray.data.Dataset",
+    orders: "ray.data.Dataset",
+    nation,
+    priority: str = "1-URGENT",
+) -> "ray.data.Dataset":
     """Per-nation count + balance total of customers with above-average
     positive account balance and NO order of the given priority (TPC-H
     Q22 shape: scalar-subquery filter + anti-join).
@@ -1633,13 +1647,15 @@ def inactive_customers(sf_dir: str, priority: str = "1-URGENT") -> "ray.data.Dat
     the anti-join is hash-partitioned, NOT broadcast: candidate customer
     rows and deduped order-custkey markers co-locate by custkey in one
     partitioned_reduce, so both sides stream at any cardinality. Output
-    rolls up to ~|nation| rows."""
+    rolls up to ~|nation| rows.
+
+    ``cust`` needs (c_custkey, c_nationkey, c_acctbal); ``orders`` needs
+    (o_custkey, o_orderpriority); ``nation`` is a small pandas frame with
+    (n_nationkey, n_name)."""
     import ray
     from ray.data.aggregate import Sum as RaySum
 
     from ..state.exchange import grouped_sum, partitioned_reduce
-
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
 
     def bal_partial(b: pa.Table) -> pa.Table:
         cents = _cents(b["c_acctbal"])
@@ -1656,14 +1672,15 @@ def inactive_customers(sf_dir: str, priority: str = "1-URGENT") -> "ray.data.Dat
         RaySum("s", alias_name="s"), RaySum("n", alias_name="n")
     )
     sum_pos, n_pos = int(stats["s"]), int(stats["n"])
-    if n_pos and sum_pos > (2**62) // max(n_pos, 1):
-        raise ValueError("balance cross-multiplication would overflow int64")
 
     def candidates(b: pa.Table) -> pa.Table:
         cents = b["c_acctbal"]
         bal = _cents(cents)
+        # multiply_checked: the gate is bal*n_pos > sum_pos; a silent int64
+        # wrap at large n_pos would flip comparisons, so overflow must raise
+        # (the r5 50M endurance leg caught a mis-scoped driver-side guard here)
         keep = pc.greater(
-            pc.multiply(bal, pa.scalar(n_pos, pa.int64())), pa.scalar(sum_pos, pa.int64())
+            pc.multiply_checked(bal, pa.scalar(n_pos, pa.int64())), pa.scalar(sum_pos, pa.int64())
         )
         t = b.filter(keep)
         return pa.table(
@@ -1674,8 +1691,6 @@ def inactive_customers(sf_dir: str, priority: str = "1-URGENT") -> "ray.data.Dat
                 "kind": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
             }
         )
-
-    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
 
     def markers(b: pa.Table) -> pa.Table:
         keys = b.filter(pc.equal(b["o_orderpriority"], pa.scalar(priority)))["o_custkey"]
@@ -1716,7 +1731,7 @@ def inactive_customers(sf_dir: str, priority: str = "1-URGENT") -> "ray.data.Dat
         n_meta=8,
     )
 
-    nat = read_table(sf_dir, "nation").to_pandas()
+    nat = nation
     names_ref = ray.put(
         (pa.array(nat["n_nationkey"].astype("int64"), pa.int64()), pa.array(nat["n_name"], pa.string()))
     )
@@ -1756,6 +1771,16 @@ GROUP BY n_name
 # Q4-shaped semi-join ---------------------------------------------------------
 
 def priority_semijoin(sf_dir: str) -> "ray.data.Dataset":
+    """sf-dir wrapper over :func:`priority_semijoin_over` — see there for
+    the topology."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_discount", "l_quantity"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    return priority_semijoin_over(orders, li)
+
+
+def priority_semijoin_over(
+    orders: "ray.data.Dataset", li: "ray.data.Dataset"
+) -> "ray.data.Dataset":
     """Order counts per priority among orders having >=1 heavily-discounted
     bulk lineitem (TPC-H Q4's EXISTS shape).
 
@@ -1763,10 +1788,11 @@ def priority_semijoin(sf_dir: str) -> "ray.data.Dataset":
     orderkeys dedup per batch, then co-locate with order rows by orderkey
     in ONE partitioned_reduce; each partition keeps matching orders and
     emits ~|priorities| count partials. Nothing order-cardinality survives
-    past the exchange."""
-    from ..state.exchange import grouped_sum, partitioned_reduce
+    past the exchange.
 
-    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_discount", "l_quantity"])
+    ``orders`` needs (o_orderkey, o_orderpriority); ``li`` needs
+    (l_orderkey, l_discount, l_quantity)."""
+    from ..state.exchange import grouped_sum, partitioned_reduce
 
     def markers(b: pa.Table) -> pa.Table:
         keep = pc.and_(
@@ -1781,8 +1807,6 @@ def priority_semijoin(sf_dir: str) -> "ray.data.Dataset":
                 "kind": pa.array(np.ones(len(u), np.int8), pa.int8()),
             }
         )
-
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
 
     def order_rows(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -2234,4 +2258,89 @@ WITH firsts AS (SELECT user_id, MIN(ts) AS fts FROM events GROUP BY user_id),
 SELECT day, CAST(new_users AS BIGINT) AS new_users,
        CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
 FROM per_day
+"""
+
+
+# cohort retention ------------------------------------------------------------------
+
+def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
+    """Retention matrix: users cohorted by first-activity day; for each
+    (cohort day, day offset) the number of cohort users active that day.
+
+    ONE user-keyed exchange does everything: batches pre-dedup
+    (user, activity-day) pairs (C++ group_by — bounded by users x days in
+    the batch, not events), the partition reduce finds each user's min day
+    (their cohort), dedups their activity days globally, and emits
+    (cohort, offset) count partials. A tiny grouped_sum finishes. Nothing
+    event-cardinality crosses the wire; no distinct set is ever shipped."""
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    DAY_US = 86_400_000_000
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "day": pc.floor(
+                    pc.divide(batch["ts"].cast(pa.int64()), pa.scalar(DAY_US, pa.int64()))
+                ).cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        return g
+
+    def retention_partition(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "day"]).aggregate([])
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        d = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        # cohort day of each row = its user's min day (first in sorted run)
+        run_id = np.cumsum(first) - 1
+        cohort = d[first][run_id]
+        out = pa.table(
+            {
+                "cohort_day": pa.array(cohort, pa.int64()),
+                "offset_days": pa.array(d - cohort, pa.int64()),
+                "active_users": pa.array(np.ones(len(u), np.int64), pa.int64()),
+            }
+        ).group_by(["cohort_day", "offset_days"]).aggregate([("active_users", "sum")])
+        return out.rename_columns(["cohort_day", "offset_days", "active_users"])
+
+    rows = ev.map_batches(pairs, batch_format="pyarrow", batch_size=65536)
+    agg = grouped_sum(
+        partitioned_reduce(rows, "user_id", retention_partition),
+        ["cohort_day", "offset_days"],
+        {"active_users": "active_users"},
+        n_meta=16,
+    )
+
+    def to_date_str(b: pa.Table) -> pa.Table:
+        us = pc.multiply(b["cohort_day"], pa.scalar(DAY_US, pa.int64()))
+        return pa.table(
+            {
+                "cohort": pc.strftime(us.cast(pa.timestamp("us")), format="%Y-%m-%d"),
+                "offset_days": b["offset_days"],
+                "active_users": b["active_users"],
+            }
+        )
+
+    return agg.map_batches(to_date_str, batch_format="pyarrow")
+
+
+COHORT_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id, MIN(STRFTIME(ts, '%Y-%m-%d')) AS cohort FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, STRFTIME(ts, '%Y-%m-%d') AS day FROM events
+)
+SELECT cohort,
+       CAST(DATEDIFF('day', CAST(cohort AS DATE), CAST(day AS DATE)) AS BIGINT) AS offset_days,
+       CAST(COUNT(*) AS BIGINT) AS active_users
+FROM activity JOIN firsts USING (user_id)
+GROUP BY cohort, offset_days
 """

@@ -12,6 +12,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from duke_ray.pipelines.relational import (
+    cohort_retention,
     cumulative_users,
     events_debounce,
     event_gaps,
@@ -310,3 +311,29 @@ def test_cumulative_users_prefix_sum(ray_session, tmp_path):
     t = cumulative_users(_sf(tmp_path)).to_pylist()
     assert [(r["new_users"], r["cum_users"]) for r in t] == [(1, 1), (2, 3)]
     assert t[0]["day"] < t[1]["day"]
+
+
+def test_cohort_retention_dedup_and_offsets(ray_session, tmp_path):
+    """Multiple events by the same user on one day count once; offsets are
+    measured from each user's OWN cohort day, and a later-joining user
+    starts a new cohort at offset 0."""
+    day_us = 86_400_000_000
+    _write(
+        tmp_path,
+        "events",
+        {
+            "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+            # user 1: day0 x2, day2 x2 -> cohort d0, offsets {0, 2}
+            # user 2: day2, day3 -> cohort d2, offsets {0, 1}
+            "ts": pa.array(
+                [BASE, BASE + 1, BASE + 2 * day_us, BASE + 2 * day_us + 5,
+                 BASE + 2 * day_us, BASE + 3 * day_us],
+                pa.timestamp("us"),
+            ),
+        },
+    )
+    rows = cohort_retention(_sf(tmp_path)).take_all()
+    got = {(r["cohort"], r["offset_days"]): r["active_users"] for r in rows}
+    days = sorted({r["cohort"] for r in rows})
+    d0, d2 = days[0], days[1]
+    assert got == {(d0, 0): 1, (d0, 2): 1, (d2, 0): 1, (d2, 1): 1}
