@@ -1962,6 +1962,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["events_debounce"] = rel.events_debounce
     q["cumulative_users"] = rel.cumulative_users
     q["cohort_retention"] = rel.cohort_retention
+    q["props_rollup"] = rel.props_rollup
+    q["order_share_of_customer"] = rel.order_share_of_customer
     q["user_event_spans"] = rel.user_event_spans
     q["distinct_segments"] = rel.distinct_segments
     q["user_sessions"] = rel.user_sessions
@@ -3359,6 +3361,8 @@ LATERAL (SELECT unnest(generate_series(
     sql["events_debounce"] = rel.events_debounce_sql()
     sql["cumulative_users"] = rel.CUMULATIVE_USERS_SQL
     sql["cohort_retention"] = rel.COHORT_RETENTION_SQL
+    sql["props_rollup"] = rel.PROPS_ROLLUP_SQL
+    sql["order_share_of_customer"] = rel.ORDER_SHARE_SQL
     sql["user_event_spans"] = rel.USER_EVENT_SPANS_SQL
     sql["distinct_segments"] = rel.DISTINCT_SEGMENTS_SQL
     sql["first_event_per_user"] = """

@@ -2344,3 +2344,111 @@ SELECT cohort,
 FROM activity JOIN firsts USING (user_id)
 GROUP BY cohort, offset_days
 """
+
+
+# JSON property extraction ----------------------------------------------------------
+
+def props_rollup(sf_dir: str) -> "ray.data.Dataset":
+    """Counts and value sums per (event type, k-decile) where ``k`` is
+    extracted from the JSON ``props`` column — the semi-structured ELT
+    path: vectorized regex field extraction (RE2 via pc.extract_regex, no
+    per-row json.loads), loud failure on unparseable rows, then the usual
+    map-side-partial + tiny grouped_sum topology."""
+    from ..state.exchange import grouped_sum
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], pattern=r'"k"\s*:\s*(?P<k>-?\d+)')
+        if m.null_count:
+            raise ValueError(
+                f"props_rollup: {m.null_count} props rows lack an integer 'k' field"
+            )
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        # numpy floor_divide, not pc.divide: Arrow integer division truncates
+        # toward zero while DuckDB's // floors — they disagree on negative k
+        dec = np.floor_divide(k.to_numpy(zero_copy_only=False), 10)
+        t = pa.table(
+            {
+                "event_type": b["event_type"],
+                "k_decile": pa.array(dec, pa.int64()),
+                "n": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+                "sum_k": k,
+            }
+        )
+        g = t.group_by(["event_type", "k_decile"]).aggregate([("n", "sum"), ("sum_k", "sum")])
+        return g.rename_columns(["event_type", "k_decile", "n", "sum_k"])
+
+    return grouped_sum(
+        ev.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["event_type", "k_decile"],
+        {"n": "n", "sum_k": "sum_k"},
+        n_meta=16,
+    )
+
+
+PROPS_ROLLUP_SQL = """
+SELECT event_type, CAST(k // 10 AS BIGINT) AS k_decile,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+)
+GROUP BY event_type, k_decile
+"""
+
+
+# partition-total window joined back to rows -----------------------------------------
+
+def order_share_of_customer(sf_dir: str) -> "ray.data.Dataset":
+    """Every order's share (ppm) of its customer's lifetime spend —
+    SUM() OVER (PARTITION BY) semantics at row cardinality.
+
+    The window total never ships separately: order rows hash to their
+    customer's partition in ONE partitioned_reduce, the per-customer
+    totals are a C++ group_by INSIDE the partition, and the share
+    attaches back by vectorized index_in. Integer ppm with floor
+    division keeps the value-hash exact. Output is orders-cardinality
+    (a window function's output always is — the exchange is the cost
+    floor for any engine)."""
+    from ..state.exchange import partitioned_reduce
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"].cast(pa.int64()),
+                "o_custkey": b["o_custkey"].cast(pa.int64()),
+                "cents": _cents(b["o_totalprice"]),
+            }
+        )
+
+    def share_partition(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("cents", "sum")])
+        if pc.any(pc.less_equal(g["cents_sum"], pa.scalar(0, pa.int64()))).as_py():
+            raise ValueError(
+                "order_share_of_customer: a customer's total is <= 0; "
+                "ppm shares are undefined"
+            )
+        idx = pc.index_in(t["o_custkey"], value_set=g["o_custkey"])
+        total = pc.take(g["cents_sum"], idx)
+        share = pc.divide(
+            pc.multiply_checked(t["cents"], pa.scalar(1_000_000, pa.int64())), total
+        )
+        return t.append_column("share_ppm", share)
+
+    return partitioned_reduce(
+        orders.map_batches(rows, batch_format="pyarrow", batch_size=65536),
+        "o_custkey",
+        share_partition,
+    )
+
+
+ORDER_SHARE_SQL = """
+SELECT o_orderkey, o_custkey, cents,
+       CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY o_custkey) AS BIGINT) AS share_ppm
+FROM (
+  SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+"""

@@ -12,6 +12,8 @@ import pyarrow.parquet as pq
 import pytest
 
 from duke_ray.pipelines.relational import (
+    order_share_of_customer,
+    props_rollup,
     cohort_retention,
     cumulative_users,
     events_debounce,
@@ -337,3 +339,63 @@ def test_cohort_retention_dedup_and_offsets(ray_session, tmp_path):
     days = sorted({r["cohort"] for r in rows})
     d0, d2 = days[0], days[1]
     assert got == {(d0, 0): 1, (d0, 2): 1, (d2, 0): 1, (d2, 1): 1}
+
+
+def test_props_rollup_floor_division_and_guard(ray_session, tmp_path):
+    """Negative k values floor toward -inf (DuckDB // semantics, not Arrow
+    truncation); a props row without an integer k raises loudly."""
+    _write(
+        tmp_path,
+        "events",
+        {
+            "event_type": pa.array(["click", "click", "view"], pa.string()),
+            "props": pa.array(['{"k": -5}', '{"k": 19}', '{"k": 0}'], pa.string()),
+        },
+    )
+    rows = props_rollup(_sf(tmp_path)).take_all()
+    got = {(r["event_type"], r["k_decile"]): (r["n"], r["sum_k"]) for r in rows}
+    assert got == {("click", -1): (1, -5), ("click", 1): (1, 19), ("view", 0): (1, 0)}
+
+    tmp2 = tmp_path / "bad"
+    tmp2.mkdir()
+    _write(
+        tmp2,
+        "events",
+        {
+            "event_type": pa.array(["click"], pa.string()),
+            "props": pa.array(['{"other": 1}'], pa.string()),
+        },
+    )
+    with pytest.raises(Exception, match="lack an integer 'k'"):
+        props_rollup(str(tmp2)).take_all()
+
+
+def test_order_share_sums_to_million_and_zero_guard(ray_session, tmp_path):
+    """Shares are floor-ppm of the customer total (a single-order customer
+    gets exactly 1,000,000); a non-positive customer total raises."""
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([7, 7, 8], pa.int64()),
+            "o_totalprice": pa.array([1.0, 2.0, 5.0], pa.float64()),
+        },
+    )
+    rows = order_share_of_customer(_sf(tmp_path)).take_all()
+    got = {r["o_orderkey"]: r["share_ppm"] for r in rows}
+    assert got == {1: 333333, 2: 666666, 3: 1000000}
+
+    tmp2 = tmp_path / "zero"
+    tmp2.mkdir()
+    _write(
+        tmp2,
+        "orders",
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([7], pa.int64()),
+            "o_totalprice": pa.array([0.0], pa.float64()),
+        },
+    )
+    with pytest.raises(Exception, match="total is <= 0"):
+        order_share_of_customer(str(tmp2)).take_all()
