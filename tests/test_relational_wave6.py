@@ -399,3 +399,51 @@ def test_order_share_sums_to_million_and_zero_guard(ray_session, tmp_path):
     )
     with pytest.raises(Exception, match="total is <= 0"):
         order_share_of_customer(str(tmp2)).take_all()
+
+
+def test_events_debounce_matches_reference(ray_session, tmp_path):
+    """Seeded random streams vs a brute-force LAG reference (ties in ts
+    broken by event_id, exactly like the oracle's ORDER BY ts, event_id)."""
+    rng = np.random.default_rng(7)
+    n = 4000
+    ts = BASE + rng.integers(0, 3_600_000_000, n)  # 1h span -> dense collisions
+    tbl = {
+        "event_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "event_type": pa.array(np.array(["a", "b", "c"])[rng.integers(0, 3, n)], pa.string()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }
+    _write(tmp_path, "events", tbl)
+    gap_s = 120
+    got = sorted(r["event_id"] for r in events_debounce(_sf(tmp_path), min_gap_seconds=gap_s).take_all())
+
+    import pandas as pd
+
+    df = pd.DataFrame({"event_id": np.arange(n), "user_id": tbl["user_id"].to_numpy(),
+                       "event_type": tbl["event_type"].to_pylist(), "ts_us": ts})
+    df = df.sort_values(["user_id", "event_type", "ts_us", "event_id"])
+    lag = df.groupby(["user_id", "event_type"])["ts_us"].shift()
+    expect = sorted(df["event_id"][(lag.isna()) | (df["ts_us"] - lag > gap_s * 1_000_000)])
+    assert got == expect
+
+
+def test_top_event_type_matches_reference(ray_session, tmp_path):
+    """Seeded random streams vs a pandas mode-with-tiebreak reference."""
+    rng = np.random.default_rng(11)
+    n = 5000
+    tbl = {
+        "user_id": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "event_type": pa.array(np.array(["x", "y", "z", "w"])[rng.integers(0, 4, n)], pa.string()),
+    }
+    _write(tmp_path, "events", tbl)
+    got = {r["user_id"]: (r["top_type"], r["n_events"])
+           for r in top_event_type_per_user(_sf(tmp_path)).take_all()}
+
+    import pandas as pd
+
+    df = pd.DataFrame({"user_id": tbl["user_id"].to_numpy(), "event_type": tbl["event_type"].to_pylist()})
+    counts = df.groupby(["user_id", "event_type"]).size().reset_index(name="n")
+    counts = counts.sort_values(["user_id", "n", "event_type"], ascending=[True, False, True])
+    expect = {int(r.user_id): (r.event_type, int(r.n))
+              for r in counts.groupby("user_id").head(1).itertuples()}
+    assert got == expect
