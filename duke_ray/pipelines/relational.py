@@ -2279,12 +2279,14 @@ def cohort_retention(sf_dir: str) -> "ray.data.Dataset":
     DAY_US = 86_400_000_000
 
     def pairs(batch: pa.Table) -> pa.Table:
+        # numpy floor_divide, not Arrow divide: truncation-toward-zero puts a
+        # pre-1970 timestamp on the WRONG calendar day (off by one), which
+        # the STRFTIME oracle would catch
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         t = pa.table(
             {
                 "user_id": batch["user_id"].cast(pa.int64()),
-                "day": pc.floor(
-                    pc.divide(batch["ts"].cast(pa.int64()), pa.scalar(DAY_US, pa.int64()))
-                ).cast(pa.int64()),
+                "day": pa.array(np.floor_divide(us, DAY_US), pa.int64()),
             }
         )
         g = t.group_by(["user_id", "day"]).aggregate([])

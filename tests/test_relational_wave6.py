@@ -447,3 +447,20 @@ def test_top_event_type_matches_reference(ray_session, tmp_path):
     expect = {int(r.user_id): (r.event_type, int(r.n))
               for r in counts.groupby("user_id").head(1).itertuples()}
     assert got == expect
+
+
+def test_cohort_retention_pre_epoch_days(ray_session, tmp_path):
+    """Pre-1970 timestamps floor to the correct calendar day (truncating
+    division would shift them forward a day): an event 1us before the
+    epoch belongs to 1969-12-31, and an offset to an epoch-day event is 1."""
+    _write(
+        tmp_path,
+        "events",
+        {
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([-1, 3600_000_000], pa.timestamp("us")),
+        },
+    )
+    rows = cohort_retention(_sf(tmp_path)).take_all()
+    got = {(r["cohort"], r["offset_days"]): r["active_users"] for r in rows}
+    assert got == {("1969-12-31", 0): 1, ("1969-12-31", 1): 1}
