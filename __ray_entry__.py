@@ -1472,6 +1472,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["corpus_diff"] = corpus_diff
 
+    def embedding_coverage(sf):
+        """Full-outer presence audit: documents vs a half-embedded corpus
+        (even vec_ids only) — counts of keys in both / left_only /
+        right_only via one key-hashed exchange (stages/dedup.py:
+        key_reconcile). FULL OUTER JOIN oracle."""
+        from duke_ray.stages.dedup import key_reconcile
+
+        docs = read_table(sf, "documents", columns=["doc_id"])
+        embs = read_table(sf, "embeddings", columns=["vec_id"]).map_batches(
+            lambda b: b.filter(
+                pc.equal(pc.bit_wise_and(b["vec_id"], pa.scalar(1)), 0)
+            ),
+            batch_format="pyarrow",
+        )
+        return key_reconcile(docs, embs, left_key="doc_id", right_key="vec_id")
+
+    q["embedding_coverage"] = embedding_coverage
+
     def clean_corpus(sf):
         """Composed cleaning chain (lang filter + quality filter +
         exact-dedup survivor) — the pretraining-data path end to end.
@@ -2897,6 +2915,18 @@ WHERE NOT EXISTS (
   SELECT 1 FROM documents b
   WHERE b.doc_id % 4 <> 0 AND b.text IS NOT DISTINCT FROM n.text
 )
+"""
+
+    sql["embedding_coverage"] = """
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
+  SELECT CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 'both'
+              WHEN d.doc_id IS NOT NULL THEN 'left_only'
+              ELSE 'right_only' END AS status
+  FROM documents d
+  FULL OUTER JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0) e
+    ON d.doc_id = e.vec_id
+)
+GROUP BY status
 """
 
     sql["hash_sample"] = """

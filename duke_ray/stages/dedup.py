@@ -1200,3 +1200,60 @@ def cross_corpus_near_dup_pairs(
         .materialize()
     )
     return _verified_pairs(sets, cand, _pairwise_jaccard, threshold, "jaccard")
+
+
+def key_reconcile(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str = "doc_id",
+    right_key: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Full-outer presence audit by key -> (status, n_keys) with status in
+    {both, left_only, right_only}. The data-quality counterpart of
+    anti_join_text: does every document have an embedding, and are there
+    orphan embeddings? Completes the join-type matrix (inner / left /
+    semi / anti / asof / range / full-outer).
+
+    Distributed shape: each side ships only batch-deduped int64 keys with
+    a presence flag; one key-hashed partitioned_reduce ORs the flags per
+    key (duplicates within a side collapse — presence means 'at least
+    one') and emits <=3 count partials per partition; a tiny grouped_sum
+    finishes. Nothing key-cardinality leaves the exchange."""
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    def side(key_col: str, flag: int):
+        def f(batch: pa.Table) -> pa.Table:
+            u = batch[key_col].cast(pa.int64()).combine_chunks().unique()
+            return pa.table(
+                {
+                    "k": u,
+                    "in_l": pa.array(np.full(len(u), 1 - flag, np.int8), pa.int8()),
+                    "in_r": pa.array(np.full(len(u), flag, np.int8), pa.int8()),
+                }
+            )
+
+        return f
+
+    both = left.map_batches(side(left_key, 0), batch_format="pyarrow", batch_size=65536).union(
+        right.map_batches(side(right_key, 1), batch_format="pyarrow", batch_size=65536)
+    )
+
+    def reconcile(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("in_l", "max"), ("in_r", "max")])
+        il = g["in_l_max"].to_numpy(zero_copy_only=False)
+        ir = g["in_r_max"].to_numpy(zero_copy_only=False)
+        status = np.where(il & ir, "both", np.where(il.astype(bool), "left_only", "right_only"))
+        out = pa.table(
+            {
+                "status": pa.array(status, pa.string()),
+                "n_keys": pa.array(np.ones(len(status), np.int64), pa.int64()),
+            }
+        ).group_by("status").aggregate([("n_keys", "sum")])
+        return out.rename_columns(["status", "n_keys"])
+
+    return grouped_sum(
+        partitioned_reduce(both, "k", reconcile),
+        "status",
+        {"n_keys": "n_keys"},
+        n_meta=4,
+    )

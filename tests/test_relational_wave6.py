@@ -464,3 +464,21 @@ def test_cohort_retention_pre_epoch_days(ray_session, tmp_path):
     rows = cohort_retention(_sf(tmp_path)).take_all()
     got = {(r["cohort"], r["offset_days"]): r["active_users"] for r in rows}
     assert got == {("1969-12-31", 0): 1, ("1969-12-31", 1): 1}
+
+
+def test_key_reconcile_all_statuses_and_dups(ray_session):
+    """Duplicate keys within a side collapse to one presence; all three
+    statuses emit; disjoint and overlapping keys count correctly."""
+    import ray
+
+    from duke_ray.stages.dedup import key_reconcile
+
+    left = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 1, 2, 3], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array([2, 2, 4], pa.int64())})
+    )
+    rows = key_reconcile(left, right, left_key="doc_id", right_key="vec_id").take_all()
+    got = {r["status"]: r["n_keys"] for r in rows}
+    assert got == {"both": 1, "left_only": 2, "right_only": 1}
