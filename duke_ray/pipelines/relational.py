@@ -2402,6 +2402,12 @@ GROUP BY event_type, k_decile
 # partition-total window joined back to rows -----------------------------------------
 
 def order_share_of_customer(sf_dir: str) -> "ray.data.Dataset":
+    """sf-dir wrapper over :func:`order_share_over`."""
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return order_share_over(orders)
+
+
+def order_share_over(orders: "ray.data.Dataset") -> "ray.data.Dataset":
     """Every order's share (ppm) of its customer's lifetime spend —
     SUM() OVER (PARTITION BY) semantics at row cardinality.
 
@@ -2411,10 +2417,9 @@ def order_share_of_customer(sf_dir: str) -> "ray.data.Dataset":
     attaches back by vectorized index_in. Integer ppm with floor
     division keeps the value-hash exact. Output is orders-cardinality
     (a window function's output always is — the exchange is the cost
-    floor for any engine)."""
+    floor for any engine). ``orders`` needs (o_orderkey, o_custkey,
+    o_totalprice)."""
     from ..state.exchange import partitioned_reduce
-
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
 
     def rows(b: pa.Table) -> pa.Table:
         return pa.table(

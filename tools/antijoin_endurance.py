@@ -122,6 +122,10 @@ def run_once(op: str) -> None:
     from duke_ray.pipelines.relational import inactive_customers_over, priority_semijoin_over
 
     tune_context()
+    if op == "share":
+        _run_share(cpus)
+        ray.shutdown()
+        return
     blocks = int(os.environ.get("AJ_BLOCKS", 64))
     orders = (
         ray.data.range(N_ORDERS, override_num_blocks=blocks)
@@ -169,11 +173,88 @@ def run_once(op: str) -> None:
     ray.shutdown()
 
 
+def _run_share(cpus: int) -> None:
+    """order_share_over at N_ORDERS: the one exchange op whose OUTPUT is
+    corpus-cardinality (window function semantics). Checks: row count ==
+    N; the global share sum within the floor-division loss bound
+    [1e6*NC - N, 1e6*NC]; and one sampled customer's rows exactly equal a
+    numpy recomputation."""
+    import ray
+
+    from duke_ray.pipelines.relational import order_share_over
+
+    blocks = int(os.environ.get("AJ_BLOCKS", 64))
+
+    def order_money_batch(batch: pa.Table) -> pa.Table:
+        i = batch["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = (_mix(i.astype(np.uint64), 9) % np.uint64(10_000_000)).astype(np.int64) + 100
+        return pa.table(
+            {
+                "o_orderkey": pa.array(i, pa.int64()),
+                "o_custkey": pa.array(
+                    (_mix(i.astype(np.uint64), 5) % np.uint64(N_CUST)).astype(np.int64), pa.int64()
+                ),
+                "o_totalprice": pa.array(cents.astype(np.float64) / 100.0, pa.float64()),
+            }
+        )
+
+    rows = (
+        ray.data.range(N_ORDERS, override_num_blocks=blocks)
+        .map_batches(order_money_batch, batch_format="pyarrow", batch_size=65536)
+        .materialize()
+    )
+
+    t0 = time.time()
+    shared = order_share_over(rows).materialize()
+    sec = time.time() - t0
+
+    n_rows = shared.count()
+    assert n_rows == N_ORDERS, (n_rows, N_ORDERS)
+
+    probe = 12345 % N_CUST
+
+    def stats_batch(b: pa.Table) -> pa.Table:
+        share = b["share_ppm"].to_numpy(zero_copy_only=False)
+        mine = b.filter(pa.compute.equal(b["o_custkey"], pa.scalar(probe, pa.int64())))
+        return pa.table(
+            {
+                "s": pa.array([int(share.sum())], pa.int64()),
+                "probe_keys": pa.array(
+                    [mine["o_orderkey"].to_pylist()], pa.list_(pa.int64())
+                ),
+                "probe_shares": pa.array(
+                    [mine["share_ppm"].to_pylist()], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    agg = shared.map_batches(stats_batch, batch_format="pyarrow").take_all()
+    total_share = sum(r["s"] for r in agg)
+    # each present customer's shares sum to (1e6 - floor loss), loss < their
+    # order count; hash assignment leaves a Poisson tail of ABSENT customers,
+    # so the bound uses the count actually present
+    all_i = np.arange(N_ORDERS, dtype=np.uint64)
+    n_present = np.unique((_mix(all_i, 5) % np.uint64(N_CUST)).astype(np.int64)).size
+    lo, hi = 1_000_000 * n_present - N_ORDERS, 1_000_000 * n_present
+    assert lo <= total_share <= hi, (total_share, lo, hi)
+
+    got = {}
+    for r in agg:
+        got.update(dict(zip(r["probe_keys"], r["probe_shares"])))
+    i = np.arange(N_ORDERS, dtype=np.uint64)
+    mine = (_mix(i, 5) % np.uint64(N_CUST)).astype(np.int64) == probe
+    cents = (_mix(i, 9) % np.uint64(10_000_000)).astype(np.int64) + 100
+    tot = int(cents[mine].sum())
+    expect = {int(k): int(c) * 1_000_000 // tot for k, c in zip(np.flatnonzero(mine), cents[mine])}
+    assert got == expect, (len(got), len(expect))
+    print(json.dumps({f"share_sec_{cpus}": round(sec, 2), "share_rows": n_rows}))
+
+
 def main() -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     widths = [int(x) for x in os.environ.get("AJ_WIDTHS", "8,32").split(",")]
     out: dict = {"n_orders": N_ORDERS, "n_cust": N_CUST, "widths": widths}
-    for op in ["anti", "semi"]:
+    for op in ["anti", "semi", "share"]:
         for w in widths:
             env = dict(os.environ, PYTHONPATH=repo, RAY_GRAFT_CPUS=str(w))
             r = subprocess.run(
