@@ -2922,8 +2922,8 @@ SELECT status, CAST(COUNT(*) AS BIGINT) AS n_keys FROM (
   SELECT CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 'both'
               WHEN d.doc_id IS NOT NULL THEN 'left_only'
               ELSE 'right_only' END AS status
-  FROM documents d
-  FULL OUTER JOIN (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0) e
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  FULL OUTER JOIN (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id % 2 = 0) e
     ON d.doc_id = e.vec_id
 )
 GROUP BY status

@@ -1499,10 +1499,15 @@ def customer_distribution(sf_dir: str) -> pa.Table:
 
     Scale shape: the left join never happens — per-customer counts come
     from one grouped_sum exchange over orders partials (customer-key
-    cardinality), the zero bucket is arithmetic: |customer| minus the
-    number of distinct ordering customers. Both scans prune to one
-    column; only customer-cardinality count rows and a ~|distinct
-    counts| histogram cross the wire."""
+    cardinality); the zero bucket comes from a key_reconcile presence
+    audit of customer keys vs ordering keys (left_only == zero-order
+    customers), which ALSO catches orders referencing custkeys absent
+    from customer (right_only -> loud raise; the earlier arithmetic
+    |customer| - |ordering| silently mixed phantom keys into the
+    histogram — r5 review finding). Both scans prune to one column;
+    only customer-cardinality rows and a ~|distinct counts| histogram
+    cross the wire."""
+    from ..stages.dedup import key_reconcile
     from ..state.exchange import grouped_sum
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey"])
@@ -1521,7 +1526,7 @@ def customer_distribution(sf_dir: str) -> pa.Table:
         orders.map_batches(partial, batch_format="pyarrow", batch_size=65536),
         "o_custkey",
         {"n": "c_count"},
-    )
+    ).materialize()
 
     def hist_partial(b: pa.Table) -> pa.Table:
         t = pa.table(
@@ -1540,11 +1545,18 @@ def customer_distribution(sf_dir: str) -> pa.Table:
         n_meta=16,
     ).to_pandas()
 
-    n_customers = read_table(sf_dir, "customer", columns=["c_custkey"]).count()
-    n_with_orders = int(hist["custdist"].sum())
-    n_zero = n_customers - n_with_orders
-    if n_zero < 0:
-        raise ValueError("orders reference more customers than the customer table holds")
+    cust_keys = read_table(sf_dir, "customer", columns=["c_custkey"])
+    recon = {
+        r["status"]: r["n_keys"]
+        for r in key_reconcile(
+            cust_keys, per_cust, left_key="c_custkey", right_key="o_custkey"
+        ).take_all()
+    }
+    if recon.get("right_only", 0):
+        raise ValueError(
+            f"orders reference {recon['right_only']} custkeys absent from customer"
+        )
+    n_zero = recon.get("left_only", 0)
     counts = list(hist["c_count"].astype("int64"))
     dists = list(hist["custdist"].astype("int64"))
     if n_zero > 0:
@@ -1739,6 +1751,10 @@ def inactive_customers_over(
     def attach(b: pa.Table) -> pa.Table:
         keys, names = ray.get(names_ref)
         idx = pc.index_in(b["c_nationkey"], value_set=keys)
+        if idx.null_count:
+            raise ValueError(
+                "inactive_customers: c_nationkey values missing from the nation table"
+            )
         return pa.table(
             {
                 "n_name": pc.take(names, idx),
@@ -1951,10 +1967,10 @@ def brand_supplier_counts(sf_dir: str, exclude_brand: str = "Brand#13") -> "ray.
         valid = pc.is_valid(idx)
         iv = idx.filter(valid).to_numpy(zero_copy_only=False)
         supp = b["l_suppkey"].cast(pa.int64()).filter(valid).to_numpy(zero_copy_only=False)
-        if supp.size and supp.max() >= (1 << 55):
-            raise ValueError("suppkey too large for packed (supp, brand, band) key")
-        if bands.size and bands.max() >= 8:
-            raise ValueError("size band >= 8 does not fit the packed key")
+        if supp.size and (supp.min() < 0 or supp.max() >= (1 << 55)):
+            raise ValueError("suppkey outside [0, 2^55) breaks the packed (supp, brand, band) key")
+        if bands.size and (bands.min() < 0 or bands.max() >= 8):
+            raise ValueError("size band outside [0, 8) does not fit the packed key")
         k = (supp << 8) | (bcodes[iv] << 3) | bands[iv]
         u = pa.array(np.unique(k), pa.int64())
         return pa.table({"k": u})
@@ -2018,12 +2034,15 @@ def event_gaps(sf_dir: str, cap_minutes: int = 60) -> "ray.data.Dataset":
     output is bounded by the bucket range, not the event count."""
     from ..state.exchange import grouped_sum, partitioned_reduce
 
-    ev = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    # event_id is deliberately NOT shipped: gap diffs depend only on the
+    # per-user ts sequence, so the tie order among equal timestamps cannot
+    # change any bucket — one less int64 column through the
+    # event-cardinality exchange
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
 
     def to_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "event_id": batch["event_id"].cast(pa.int64()),
                 "user_id": batch["user_id"].cast(pa.int64()),
                 "ts_us": batch["ts"].cast(pa.int64()),
             }
@@ -2032,8 +2051,7 @@ def event_gaps(sf_dir: str, cap_minutes: int = 60) -> "ray.data.Dataset":
     def gaps_partition(t: pa.Table) -> pa.Table:
         user = t["user_id"].to_numpy(zero_copy_only=False)
         ts_us = t["ts_us"].to_numpy(zero_copy_only=False)
-        eid = t["event_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts_us, user))
+        order = np.lexsort((ts_us, user))
         u, tsu = user[order], ts_us[order]
         same_user = np.zeros(len(u), dtype=bool)
         same_user[1:] = u[1:] == u[:-1]
@@ -2367,13 +2385,13 @@ def props_rollup(sf_dir: str) -> "ray.data.Dataset":
                 f"props_rollup: {m.null_count} props rows lack an integer 'k' field"
             )
         k = pc.cast(pc.struct_field(m, "k"), pa.int64())
-        # numpy floor_divide, not pc.divide: Arrow integer division truncates
-        # toward zero while DuckDB's // floors — they disagree on negative k
-        dec = np.floor_divide(k.to_numpy(zero_copy_only=False), 10)
+        # pc.divide truncates toward zero — and so does DuckDB's integer //
+        # (verified: (-5)//10 = 0, (-15)//10 = -1 on DuckDB 1.0) — so the
+        # engine and oracle agree on negative k. np.floor_divide would NOT.
         t = pa.table(
             {
                 "event_type": b["event_type"],
-                "k_decile": pa.array(dec, pa.int64()),
+                "k_decile": pc.divide(k, pa.scalar(10, pa.int64())),
                 "n": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
                 "sum_k": k,
             }

@@ -1223,7 +1223,13 @@ def key_reconcile(
 
     def side(key_col: str, flag: int):
         def f(batch: pa.Table) -> pa.Table:
-            u = batch[key_col].cast(pa.int64()).combine_chunks().unique()
+            col = batch[key_col]
+            # Null keys would silently merge across sides (Arrow group_by
+            # pools nulls into one group) while a SQL FULL OUTER JOIN never
+            # matches NULLs — refuse instead of diverging.
+            if col.null_count:
+                raise ValueError(f"key_reconcile: null keys in {key_col!r}")
+            u = col.cast(pa.int64()).combine_chunks().unique()
             return pa.table(
                 {
                     "k": u,

@@ -51,12 +51,21 @@ def test_customer_distribution_zero_bucket(ray_session, tmp_path):
 
 
 def test_customer_distribution_foreign_custkey_raises(ray_session, tmp_path):
-    """More distinct ordering customers than customer rows means the zero
-    bucket would go negative — fail loudly instead of emitting nonsense."""
+    """Orders referencing custkeys absent from customer fail loudly — even
+    in the MIXED case where zero-order customers would have masked the
+    phantom keys under the old arithmetic zero bucket (r5 review)."""
     _write(tmp_path, "customer", {"c_custkey": pa.array([1], pa.int64())})
     _write(tmp_path, "orders", {"o_custkey": pa.array([1, 2], pa.int64())})
-    with pytest.raises(ValueError, match="more customers"):
+    with pytest.raises(ValueError, match="absent from customer"):
         customer_distribution(_sf(tmp_path))
+
+    # mixed: customers {1,2}, a zero-order customer 2 AND a phantom key 3
+    tmp2 = tmp_path / "mixed"
+    tmp2.mkdir()
+    _write(tmp2, "customer", {"c_custkey": pa.array([1, 2], pa.int64())})
+    _write(tmp2, "orders", {"o_custkey": pa.array([1, 3], pa.int64())})
+    with pytest.raises(ValueError, match="absent from customer"):
+        customer_distribution(str(tmp2))
 
 
 def test_part_revenue_share_strictly_above_mean(ray_session, tmp_path):
@@ -230,7 +239,7 @@ def test_brand_supplier_counts_dedup_exclude_and_guard(ray_session, tmp_path):
             "l_suppkey": pa.array([1 << 56], pa.int64()),
         },
     )
-    with pytest.raises(Exception, match="suppkey too large"):
+    with pytest.raises(Exception, match="suppkey outside"):
         brand_supplier_counts(str(tmp2)).take_all()
 
 
@@ -341,9 +350,10 @@ def test_cohort_retention_dedup_and_offsets(ray_session, tmp_path):
     assert got == {(d0, 0): 1, (d0, 2): 1, (d2, 0): 1, (d2, 1): 1}
 
 
-def test_props_rollup_floor_division_and_guard(ray_session, tmp_path):
-    """Negative k values floor toward -inf (DuckDB // semantics, not Arrow
-    truncation); a props row without an integer k raises loudly."""
+def test_props_rollup_truncating_division_and_guard(ray_session, tmp_path):
+    """Negative k values truncate toward zero — matching DuckDB's integer
+    // exactly ((-5)//10 = 0 there, NOT -1); a props row without an
+    integer k raises loudly. Verified against the oracle SQL inline."""
     _write(
         tmp_path,
         "events",
@@ -354,7 +364,18 @@ def test_props_rollup_floor_division_and_guard(ray_session, tmp_path):
     )
     rows = props_rollup(_sf(tmp_path)).take_all()
     got = {(r["event_type"], r["k_decile"]): (r["n"], r["sum_k"]) for r in rows}
-    assert got == {("click", -1): (1, -5), ("click", 1): (1, 19), ("view", 0): (1, 0)}
+    assert got == {("click", 0): (1, -5), ("click", 1): (1, 19), ("view", 0): (1, 0)}
+
+    import duckdb
+
+    from duke_ray.pipelines.relational import PROPS_ROLLUP_SQL
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'")
+    oracle = {
+        (t, d): (n, sk) for t, d, n, sk in con.sql(PROPS_ROLLUP_SQL).fetchall()
+    }
+    assert oracle == got
 
     tmp2 = tmp_path / "bad"
     tmp2.mkdir()
