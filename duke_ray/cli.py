@@ -6,6 +6,8 @@ session and side assets are built once).
     python -m duke_ray.cli describe --input <csv|parquet> [--columns a,b]
     python -m duke_ray.cli kg --sf-dir /root/testdata/sf0.001 --out /tmp/kg
     python -m duke_ray.cli evaluate --input <csv|parquet> --positives p.json
+    python -m duke_ray.cli query --name pricing_summary --sf-dir /data/sf1 \
+        [--out /data/out] [--list]
 """
 
 from __future__ import annotations
@@ -53,6 +55,12 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out-dir", default="/tmp/duke_ray_trials")
     e.add_argument("--run-id", default="run")
 
+    qp = sub.add_parser("query", help="run any registered pipeline by name")
+    qp.add_argument("--name", default=None, help="queries() key; omit with --list")
+    qp.add_argument("--sf-dir", default=None)
+    qp.add_argument("--out", default=None, help="write result parquet here instead of printing a sample")
+    qp.add_argument("--list", action="store_true", help="list available query names")
+
     args = p.parse_args(argv)
     _init_ray(args.num_cpus)
     import ray
@@ -91,6 +99,54 @@ def main(argv: list[str] | None = None) -> int:
             best = trials.iloc[0]
             print(json.dumps({"trials_csv": path, "best_config": best["config"],
                               "best_gap": float(best["score_gap"])}))
+        elif args.cmd == "query":
+            # the driver-contract registry doubles as the job catalog: every
+            # pipeline a user can gate-check is also submittable as a job
+            import importlib.util
+            import os
+
+            spec = importlib.util.spec_from_file_location(
+                "duke_ray_entry",
+                os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                             "__ray_entry__.py"),
+            )
+            entry = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(entry)
+            qs = entry.queries()
+            if args.list or not args.name:
+                print(json.dumps({"queries": sorted(qs)}))
+            else:
+                if args.name not in qs:
+                    raise SystemExit(f"unknown query {args.name!r}; try --list")
+                if not args.sf_dir:
+                    raise SystemExit("--sf-dir is required with --name")
+                res = qs[args.name](args.sf_dir)
+                import pandas as pd
+                import pyarrow as pa
+
+                import ray.data as rd
+
+                if isinstance(res, rd.Dataset):
+                    if args.out:
+                        res.write_parquet(args.out)
+                        print(json.dumps({"name": args.name, "out": args.out,
+                                          "rows": res.count()}))
+                    else:
+                        n = res.count()
+                        print(json.dumps({"name": args.name, "rows": n,
+                                          "sample": res.take(5)}, default=str))
+                else:
+                    df = res.to_pandas() if isinstance(res, pa.Table) else res
+                    if args.out:
+                        os.makedirs(args.out, exist_ok=True)
+                        path = os.path.join(args.out, "part-0.parquet")
+                        df.to_parquet(path)
+                        print(json.dumps({"name": args.name, "out": args.out,
+                                          "rows": len(df)}))
+                    else:
+                        print(json.dumps({"name": args.name, "rows": len(df),
+                                          "sample": df.head(5).to_dict("records")},
+                                         default=str))
     finally:
         ray.shutdown()
     return 0

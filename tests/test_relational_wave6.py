@@ -503,3 +503,36 @@ def test_key_reconcile_all_statuses_and_dups(ray_session):
     rows = key_reconcile(left, right, left_key="doc_id", right_key="vec_id").take_all()
     got = {r["status"]: r["n_keys"] for r in rows}
     assert got == {"both": 1, "left_only": 2, "right_only": 1}
+
+
+def test_cli_query_subcommand(tmp_path):
+    """The driver-contract registry doubles as the job catalog: `query
+    --list` names every pipeline, and `query --name ... --out` lands
+    parquet. Subprocess because cli.main owns (and shuts down) a Ray
+    session."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    r = subprocess.run(
+        [sys.executable, "-m", "duke_ray.cli", "--num-cpus", "4", "query", "--list"],
+        capture_output=True, text=True, env=env, check=True, timeout=300,
+    )
+    names = json.loads(r.stdout.strip().splitlines()[-1])["queries"]
+    assert "pricing_summary" in names and "cohort_retention" in names
+
+    out = tmp_path / "q"
+    r = subprocess.run(
+        [sys.executable, "-m", "duke_ray.cli", "--num-cpus", "4", "query",
+         "--name", "customers_per_region", "--sf-dir", "/root/testdata/sf0.001",
+         "--out", str(out)],
+        capture_output=True, text=True, env=env, check=True, timeout=300,
+    )
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows"] > 0
+    import duckdb
+
+    n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n == res["rows"]
