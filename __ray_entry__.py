@@ -203,9 +203,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {}
 
     # -- KG path over pages (oracles run on the 1:1 documents view) --------
-    q["extract_text"] = lambda sf: _extracted(sf).select_columns(["doc_id", "text"])
+    def extract_text(sf):
+        """HTML -> visible text extraction over the pages table (vectorized
+        RE2 tag strip + entity decode, duke_ray/text.py), keyed to doc_id."""
+        return _extracted(sf).select_columns(["doc_id", "text"])
+
+    q["extract_text"] = extract_text
 
     def token_counts(sf):
+        """Per-doc whitespace token counts (token_stats projection)."""
         from duke_ray.stages.textstats import token_stats
 
         return token_stats(_extracted(sf)).select_columns(["doc_id", "n_tokens"])
@@ -1908,6 +1914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["bpe_token_counts"] = bpe_token_counts
 
     def fingerprints_md5(sf):
+        """Per-doc md5 content fingerprints (hashlib over Arrow buffers in
+        one map pass) — the exact-dup / sampling / split key primitive."""
         from duke_ray.stages.textstats import fingerprints
 
         return fingerprints(_extracted(sf)).select_columns(["doc_id", "md5"])

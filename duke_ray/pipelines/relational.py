@@ -201,6 +201,7 @@ GROUP BY r_name
 # filter + sort + limit ------------------------------------------------------
 
 def filtered_parts(sf_dir: str, min_size: int = 30, k: int = 25) -> "ray.data.Dataset":
+    """Filter + project + top-k by (retail price, partkey): per-batch partial top-k caps the sort input at ~k rows per block."""
     part = read_table(sf_dir, "part", columns=["p_partkey", "p_name", "p_type", "p_size", "p_retailprice"])
     filt = part.map_batches(
         lambda b: b.filter(pc.greater_equal(b["p_size"], pa.scalar(min_size, pa.int32()))),
@@ -649,6 +650,7 @@ GROUP BY event_type, window_start
 # distinct / unique ----------------------------------------------------------
 
 def distinct_segments(sf_dir: str) -> "ray.data.Dataset":
+    """DISTINCT over a low-cardinality column: per-batch C++ dedup partials, then one tiny grouped final — the corpus never shuffles."""
     cust = read_table(sf_dir, "customer", columns=["c_mktsegment"])
 
     def partial(batch: pa.Table) -> pa.Table:

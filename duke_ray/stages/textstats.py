@@ -52,6 +52,7 @@ def token_stats_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "
 
 
 def token_stats(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "ray.data.Dataset":
+    """Per-doc token/char counts and mean word length in integer milli — one vectorized map pass (token_stats_batch), no shuffle."""
     return docs.map_batches(
         lambda b: token_stats_batch(b, id_col, text_col), batch_format="pyarrow", batch_size=8192
     )
@@ -185,6 +186,7 @@ def lang_id_batch(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text
 
 
 def lang_id(docs: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text") -> "ray.data.Dataset":
+    """Heuristic language ID per doc (stopword-hit counting per language, argmax with deterministic tiebreak) — pure map pass, no shuffle."""
     return docs.map_batches(
         lambda b: lang_id_batch(b, id_col, text_col), batch_format="pyarrow", batch_size=8192
     )
