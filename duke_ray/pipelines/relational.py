@@ -2479,3 +2479,108 @@ FROM (
   FROM orders
 )
 """
+
+
+# ordered-event funnel ---------------------------------------------------------------
+
+def funnel_counts(
+    sf_dir: str, stages: tuple[str, str, str] = ("view", "click", "purchase")
+) -> pa.Table:
+    """Three-stage funnel: how many users ever reach stage 1, stage 1 then
+    2, and the full 1->2->3 sequence (strictly increasing timestamps,
+    greedy earliest-match — the standard first-touch funnel; greedy is
+    optimal for subsequence existence).
+
+    ONE user-keyed exchange; inside each partition the per-user stage
+    times resolve with np.minimum.reduceat over the user-sorted stream
+    (t1 = min view ts; t2 = min click ts > t1; t3 = min purchase ts > t2)
+    and each partition emits a single (n1, n2, n3) partial row. Driver
+    combines <= n_meta rows."""
+    from ..state.exchange import partitioned_reduce
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    s1, s2, s3 = stages
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        code = pa.compute.case_when(
+            pc.make_struct(
+                pc.equal(batch["event_type"], pa.scalar(s1)),
+                pc.equal(batch["event_type"], pa.scalar(s2)),
+                pc.equal(batch["event_type"], pa.scalar(s3)),
+            ),
+            pa.scalar(1, pa.int8()),
+            pa.scalar(2, pa.int8()),
+            pa.scalar(3, pa.int8()),
+            pa.scalar(0, pa.int8()),
+        )
+        t = pa.table(
+            {
+                "user_id": batch["user_id"].cast(pa.int64()),
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "stage": code,
+            }
+        )
+        return t.filter(pc.greater(t["stage"], pa.scalar(0, pa.int8())))
+
+    def funnel_partition(t: pa.Table) -> pa.Table:
+        user = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        stage = t["stage"].to_numpy(zero_copy_only=False)
+        if len(user) == 0:
+            return pa.table(
+                {c: pa.array([0], pa.int64()) for c in ("n_stage1", "n_stage12", "n_stage123")}
+            )
+        order = np.lexsort((ts, user))
+        u, tsu, st = user[order], ts[order], stage[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        n1 = n2 = n3 = 0
+        BIG = np.iinfo(np.int64).max
+
+        def seg_min(mask: np.ndarray) -> np.ndarray:
+            # per-user min of tsu where mask, BIG where none: reduceat over
+            # a masked copy
+            v = np.where(mask, tsu, BIG)
+            return np.minimum.reduceat(v, starts)
+
+        t1 = seg_min(st == 1)
+        # threshold per row = its user's t1
+        seg_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
+        t2 = seg_min((st == 2) & (tsu > t1[seg_id]))
+        t3 = seg_min((st == 3) & (tsu > t2[seg_id]))
+        n1 = int((t1 < BIG).sum())
+        n2 = int((t2 < BIG).sum())
+        n3 = int((t3 < BIG).sum())
+        return pa.table(
+            {
+                "n_stage1": pa.array([n1], pa.int64()),
+                "n_stage12": pa.array([n2], pa.int64()),
+                "n_stage123": pa.array([n3], pa.int64()),
+            }
+        )
+
+    partials = partitioned_reduce(
+        ev.map_batches(to_rows, batch_format="pyarrow", batch_size=65536),
+        "user_id",
+        funnel_partition,
+    ).to_pandas()
+    return pa.table(
+        {
+            "n_stage1": pa.array([int(partials["n_stage1"].sum())], pa.int64()),
+            "n_stage12": pa.array([int(partials["n_stage12"].sum())], pa.int64()),
+            "n_stage123": pa.array([int(partials["n_stage123"].sum())], pa.int64()),
+        }
+    )
+
+
+def funnel_counts_sql(stages: tuple[str, str, str] = ("view", "click", "purchase")) -> str:
+    s1, s2, s3 = stages
+    return f"""
+WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = '{s1}' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = '{s2}' AND e.ts > v.t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = '{s3}' AND e.ts > c.t2 GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_stage1,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_stage12,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_stage123
+"""

@@ -536,3 +536,33 @@ def test_cli_query_subcommand(tmp_path):
 
     n = duckdb.sql(f"SELECT COUNT(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
     assert n == res["rows"]
+
+
+def test_funnel_strict_ordering(ray_session, tmp_path):
+    """A click at or before the first view does not advance the funnel
+    (strict >); a purchase before the qualifying click doesn't count; and
+    greedy earliest-match finds later valid completions."""
+    from duke_ray.pipelines.relational import funnel_counts
+
+    m = 60_000_000
+    rows = [
+        # user 1: view t0, click t0 (tie -> no), click t1 (yes), purchase t2 -> full funnel
+        (1, "view", 0), (1, "click", 0), (1, "click", 1), (1, "purchase", 2),
+        # user 2: click before any view -> stage1 only (view at t1)
+        (2, "click", 0), (2, "view", 1),
+        # user 3: view, purchase, click -> purchase precedes click: stage12 only
+        (3, "view", 0), (3, "purchase", 1), (3, "click", 2),
+        # user 4: never views -> no stage
+        (4, "click", 0), (4, "purchase", 1),
+    ]
+    _write(
+        tmp_path,
+        "events",
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows], pa.string()),
+            "ts": pa.array([BASE + r[2] * m for r in rows], pa.timestamp("us")),
+        },
+    )
+    t = funnel_counts(_sf(tmp_path)).to_pylist()[0]
+    assert (t["n_stage1"], t["n_stage12"], t["n_stage123"]) == (3, 2, 1)
