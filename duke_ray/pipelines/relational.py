@@ -2483,91 +2483,83 @@ FROM (
 
 # ordered-event funnel ---------------------------------------------------------------
 
-def funnel_counts(
-    sf_dir: str, stages: tuple[str, str, str] = ("view", "click", "purchase")
-) -> pa.Table:
-    """Three-stage funnel: how many users ever reach stage 1, stage 1 then
-    2, and the full 1->2->3 sequence (strictly increasing timestamps,
-    greedy earliest-match — the standard first-touch funnel; greedy is
-    optimal for subsequence existence).
+def funnel_over(ev: "ray.data.Dataset", stages: tuple[str, ...]) -> list[int]:
+    """k-stage funnel core: for each prefix of ``stages``, how many users
+    complete it in order (strictly increasing timestamps, greedy
+    earliest-match — the standard first-touch funnel; greedy is optimal
+    for subsequence existence).
 
     ONE user-keyed exchange; inside each partition the per-user stage
-    times resolve with np.minimum.reduceat over the user-sorted stream
-    (t1 = min view ts; t2 = min click ts > t1; t3 = min purchase ts > t2)
-    and each partition emits a single (n1, n2, n3) partial row. Driver
-    combines <= n_meta rows."""
+    times resolve iteratively with np.minimum.reduceat over the
+    user-sorted stream (t_s = min ts of stage-s events strictly after the
+    user's t_{s-1}); each partition emits a single k-count partial row.
+    Driver combines <= n_meta rows. ``ev`` needs (user_id, event_type,
+    ts); returns [n_stage1, n_stage1&2, ..., n_full]."""
     from ..state.exchange import partitioned_reduce
 
-    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
-    s1, s2, s3 = stages
+    if len(stages) < 1:
+        raise ValueError("funnel_over needs at least one stage")
+    if len(set(stages)) != len(stages):
+        raise ValueError("funnel_over stages must be distinct (index_in keys on first match)")
+    k = len(stages)
+    stage_arr = pa.array(list(stages), pa.string())
 
     def to_rows(batch: pa.Table) -> pa.Table:
-        code = pa.compute.case_when(
-            pc.make_struct(
-                pc.equal(batch["event_type"], pa.scalar(s1)),
-                pc.equal(batch["event_type"], pa.scalar(s2)),
-                pc.equal(batch["event_type"], pa.scalar(s3)),
-            ),
-            pa.scalar(1, pa.int8()),
-            pa.scalar(2, pa.int8()),
-            pa.scalar(3, pa.int8()),
-            pa.scalar(0, pa.int8()),
-        )
+        idx = pc.index_in(batch["event_type"], value_set=stage_arr)
         t = pa.table(
             {
                 "user_id": batch["user_id"].cast(pa.int64()),
                 "ts_us": batch["ts"].cast(pa.int64()),
-                "stage": code,
+                "stage": pc.cast(pc.add(idx, pa.scalar(1, pa.int32())), pa.int8()),
             }
         )
-        return t.filter(pc.greater(t["stage"], pa.scalar(0, pa.int8())))
+        return t.filter(pc.is_valid(t["stage"]))
+
+    cols = [f"n_prefix_{i + 1}" for i in range(k)]
 
     def funnel_partition(t: pa.Table) -> pa.Table:
         user = t["user_id"].to_numpy(zero_copy_only=False)
         ts = t["ts_us"].to_numpy(zero_copy_only=False)
         stage = t["stage"].to_numpy(zero_copy_only=False)
         if len(user) == 0:
-            return pa.table(
-                {c: pa.array([0], pa.int64()) for c in ("n_stage1", "n_stage12", "n_stage123")}
-            )
+            return pa.table({c: pa.array([0], pa.int64()) for c in cols})
         order = np.lexsort((ts, user))
         u, tsu, st = user[order], ts[order], stage[order]
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        n1 = n2 = n3 = 0
+        new_seg = np.r_[True, u[1:] != u[:-1]]
+        starts = np.flatnonzero(new_seg)
+        seg_id = np.cumsum(new_seg) - 1
         BIG = np.iinfo(np.int64).max
-
-        def seg_min(mask: np.ndarray) -> np.ndarray:
-            # per-user min of tsu where mask, BIG where none: reduceat over
-            # a masked copy
+        counts = []
+        prev = np.full(starts.size, np.iinfo(np.int64).min, np.int64)
+        for si in range(1, k + 1):
+            mask = (st == si) & (tsu > prev[seg_id])
             v = np.where(mask, tsu, BIG)
-            return np.minimum.reduceat(v, starts)
-
-        t1 = seg_min(st == 1)
-        # threshold per row = its user's t1
-        seg_id = np.cumsum(np.r_[True, u[1:] != u[:-1]]) - 1
-        t2 = seg_min((st == 2) & (tsu > t1[seg_id]))
-        t3 = seg_min((st == 3) & (tsu > t2[seg_id]))
-        n1 = int((t1 < BIG).sum())
-        n2 = int((t2 < BIG).sum())
-        n3 = int((t3 < BIG).sum())
-        return pa.table(
-            {
-                "n_stage1": pa.array([n1], pa.int64()),
-                "n_stage12": pa.array([n2], pa.int64()),
-                "n_stage123": pa.array([n3], pa.int64()),
-            }
-        )
+            cur = np.minimum.reduceat(v, starts)
+            counts.append(int((cur < BIG).sum()))
+            prev = cur
+        return pa.table({c: pa.array([n], pa.int64()) for c, n in zip(cols, counts)})
 
     partials = partitioned_reduce(
         ev.map_batches(to_rows, batch_format="pyarrow", batch_size=65536),
         "user_id",
         funnel_partition,
     ).to_pandas()
+    return [int(partials[c].sum()) for c in cols]
+
+
+def funnel_counts(
+    sf_dir: str, stages: tuple[str, str, str] = ("view", "click", "purchase")
+) -> pa.Table:
+    """Three-stage funnel over the events table (gate shape of
+    :func:`funnel_over`): users reaching stage 1, stages 1->2, and the
+    full 1->2->3 sequence."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    n1, n2, n3 = funnel_over(ev, tuple(stages))
     return pa.table(
         {
-            "n_stage1": pa.array([int(partials["n_stage1"].sum())], pa.int64()),
-            "n_stage12": pa.array([int(partials["n_stage12"].sum())], pa.int64()),
-            "n_stage123": pa.array([int(partials["n_stage123"].sum())], pa.int64()),
+            "n_stage1": pa.array([n1], pa.int64()),
+            "n_stage12": pa.array([n2], pa.int64()),
+            "n_stage123": pa.array([n3], pa.int64()),
         }
     )
 

@@ -566,3 +566,61 @@ def test_funnel_strict_ordering(ray_session, tmp_path):
     )
     t = funnel_counts(_sf(tmp_path)).to_pylist()[0]
     assert (t["n_stage1"], t["n_stage12"], t["n_stage123"]) == (3, 2, 1)
+
+
+def test_funnel_over_four_stages_matches_reference(ray_session, tmp_path):
+    """k-stage funnel vs a brute-force per-user greedy scan on seeded
+    random streams (4 stages, dense ts collisions)."""
+    import ray
+
+    from duke_ray.pipelines.relational import funnel_over
+
+    rng = np.random.default_rng(23)
+    n = 6000
+    stages = ("a", "b", "c", "d")
+    types = np.array(["a", "b", "c", "d", "x"])[rng.integers(0, 5, n)]
+    users = rng.integers(0, 50, n)
+    ts = BASE + rng.integers(0, 1000, n)  # heavy ties
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+    )
+    got = funnel_over(ev, stages)
+
+    expect = [0, 0, 0, 0]
+    for u in np.unique(users):
+        m = users == u
+        ut, uty = ts[m], types[m]
+        order = np.argsort(ut, kind="stable")
+        ut, uty = ut[order], uty[order]
+        prev = -np.inf
+        for i, st in enumerate(stages):
+            cand = ut[(uty == st) & (ut > prev)]
+            if cand.size == 0:
+                break
+            prev = cand.min()
+            expect[i] += 1
+    assert got == expect
+
+
+def test_funnel_over_duplicate_stage_raises(ray_session):
+    import ray
+
+    from duke_ray.pipelines.relational import funnel_over
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([1], pa.int64()),
+                "event_type": pa.array(["a"], pa.string()),
+                "ts": pa.array([BASE], pa.timestamp("us")),
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_over(ev, ("a", "a"))
