@@ -551,6 +551,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["duplicate_spans"] = duplicate_spans
 
+    def strip_boilerplate_docs(sf):
+        """Substring-dedup REMOVAL transform (stages/spans.py:
+        strip_boilerplate): same planted boilerplate as duplicate_spans
+        (8-token suffix on doc_id % 5 == 0), tokens covered by any
+        >=2-doc duplicated 8-window excised. Rows-only; in-query
+        invariants: row count preserved; exact token conservation
+        (kept + removed == input, aggregated distributed); every planted
+        doc loses >= 8 tokens (its pure-boiler window is corpus-wide)."""
+        from duke_ray.stages.spans import strip_boilerplate
+
+        docs = read_table(sf, "documents", columns=["doc_id", "text"])
+
+        def with_boiler(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].cast(pa.int64())
+            mask = ids.to_numpy(zero_copy_only=False) % 5 == 0
+            boiler = pc.if_else(
+                pa.array(mask),
+                pa.scalar(" please subscribe to our newsletter for daily updates"),
+                pa.scalar(""),
+            )
+            return pa.table(
+                {
+                    "doc_id": ids,
+                    "text": pc.binary_join_element_wise(
+                        b["text"].combine_chunks() if isinstance(b["text"], pa.ChunkedArray) else b["text"],
+                        boiler,
+                        "",
+                    ),
+                }
+            )
+
+        boiled = docs.map_batches(with_boiler, batch_format="pyarrow").materialize()
+        out = strip_boilerplate(boiled, w=8).materialize()
+        if out.count() != boiled.count():
+            raise AssertionError("strip_boilerplate changed the row count")
+
+        def out_stats(b: pa.Table) -> pa.Table:
+            # n_kept is authoritative (an emptied doc's "" re-splits to one
+            # empty token); additionally pin n_kept to the re-split length
+            # for non-empty texts
+            kept = b["n_kept"].to_numpy(zero_copy_only=False)
+            rem = b["n_removed"].to_numpy(zero_copy_only=False)
+            ids = b["doc_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            split_len = pc.list_value_length(
+                pc.split_pattern(b["text"], pattern=" ")
+            ).to_numpy(zero_copy_only=False)
+            nonempty = kept > 0
+            if (split_len[nonempty] != kept[nonempty]).any():
+                raise AssertionError("n_kept disagrees with the re-split length")
+            empt = ~nonempty
+            if (pc.not_equal(b["text"], pa.scalar("")).to_numpy(zero_copy_only=False)[empt]).any():
+                raise AssertionError("a zero-kept doc has non-empty text")
+            return pa.table(
+                {
+                    "kept": pa.array([int(kept.sum())], pa.int64()),
+                    "removed": pa.array([int(rem.sum())], pa.int64()),
+                    "planted_short": pa.array(
+                        [int(((ids % 5 == 0) & (rem < 8)).sum())], pa.int64()
+                    ),
+                }
+            )
+
+        def in_stats(b: pa.Table) -> pa.Table:
+            nt = pc.sum(pc.list_value_length(pc.split_pattern(b["text"], pattern=" ")))
+            return pa.table({"toks": pa.array([nt.as_py() or 0], pa.int64())})
+
+        a = out.map_batches(out_stats, batch_format="pyarrow").to_pandas()
+        b = boiled.map_batches(in_stats, batch_format="pyarrow").to_pandas()
+        if int(a["kept"].sum()) + int(a["removed"].sum()) != int(b["toks"].sum()):
+            raise AssertionError("strip_boilerplate broke token conservation")
+        if int(a["planted_short"].sum()):
+            raise AssertionError("a planted boilerplate doc lost fewer than 8 tokens")
+        return out.select_columns(["doc_id", "n_kept", "n_removed"])
+
+    q["strip_boilerplate"] = strip_boilerplate_docs
+
     def url_dedup(sf):
         """Canonical-URL dedup: crawl variants of the same page (tracking
         params, fragments, upper-cased scheme/host) collapse onto one

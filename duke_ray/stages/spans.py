@@ -54,11 +54,15 @@ from ..text import fnv1a64_arrow
 
 
 def _windows_batch(
-    batch: pa.Table, w: int, id_col: str, text_col: str
-) -> tuple[pa.Array, np.ndarray]:
+    batch: pa.Table, w: int, id_col: str, text_col: str, return_layout: bool = False
+):
     """-> (span strings, doc_id per span) for every stride-1 w-token
     window. Tokenization = split on single spaces, the corpus normal
-    form (matches ``string_split(text, ' ')`` in the oracles)."""
+    form (matches ``string_split(text, ' ')`` in the oracles).
+
+    With ``return_layout=True`` additionally returns (flat start index
+    per span, flat token array, per-doc token offsets) so callers can map
+    spans back onto token positions (strip_boilerplate)."""
     toks = pc.split_pattern(pc.fill_null(batch[text_col], ""), pattern=" ")
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
@@ -68,6 +72,9 @@ def _windows_batch(
     flat = toks.flatten()
     n_tok = int(off[-1] - off[0])
     if n_tok < w:
+        if return_layout:
+            return (pa.array([], pa.string()), np.array([], np.int64),
+                    np.array([], np.int64), flat, off - off[0])
         return pa.array([], pa.string()), np.array([], np.int64)
     base = off - off[0]
     lengths = np.diff(base)
@@ -81,6 +88,9 @@ def _windows_batch(
     spans_all = pc.binary_join_element_wise(*parts, " ")
     sel = pa.array(np.flatnonzero(valid), pa.int64())
     ids = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    if return_layout:
+        return (spans_all.take(sel), ids[tok_doc[starts[valid]]],
+                starts[valid], flat, base)
     return spans_all.take(sel), ids[tok_doc[starts[valid]]]
 
 
@@ -343,3 +353,113 @@ def _semijoin_verify(
         return out.filter(pc.greater_equal(out["n_docs"], pa.scalar(min_docs, pa.int64())))
 
     return partitioned_reduce(verified, "span", finalize, n_meta=n_meta)
+
+
+def strip_boilerplate(
+    docs: "ray.data.Dataset",
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    n_meta: int = 256,
+    max_broadcast_candidates: int = 20_000_000,
+) -> "ray.data.Dataset":
+    """Remove every token covered by a duplicated w-window (>= min_docs
+    distinct docs) from each document -> (doc_id, text, n_removed) — the
+    substring-dedup TRANSFORM the duplicate_spans inventory motivates
+    (Lee et al. 2022's removal step, token-coverage form).
+
+    Two passes: the same candidate-hash exchange as duplicate_spans
+    (int64 pairs only), then one rebuild scan — window hits paint a
+    coverage diff-array over the flattened token buffer (np.add.at +
+    cumsum), survivors re-assemble into per-doc strings with ONE
+    LargeListArray + pc.binary_join kernel. No Python loop over rows.
+
+    Removal is keyed by 64-bit span hash WITHOUT the span-string verify
+    pass (a collision can remove one innocent window; same tolerance
+    class as exact_dedup, documented there) — the verify pass would
+    require shipping every candidate window's text. Null text passes
+    through as an empty string (split normal form). Token adjacency
+    created by removal is NOT re-scanned (single-pass semantics, as in
+    the paper). Candidate sets beyond ``max_broadcast_candidates`` raise:
+    the distributed escalation for that regime is _semijoin_verify's
+    doc-keyed exchange — compose duplicate_spans(mode="semijoin") with a
+    span-set join instead."""
+    if w < 2:
+        raise ValueError("w must be >= 2")
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2")
+
+    from ..state.exchange import grouped_sum
+    from ..text import fnv1a64_arrow
+
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        spans, ids = _windows_batch(batch, w, id_col, text_col)
+        h = fnv1a64_arrow(spans).view(np.int64)
+        t = pa.table({"h": pa.array(h, pa.int64()), "doc": pa.array(ids, pa.int64())})
+        g = t.group_by(["h", "doc"]).aggregate([])
+        return pa.table({"h": g["h"], "one": pa.array(np.ones(g.num_rows, np.int64))})
+
+    doc_counts = grouped_sum(
+        docs.map_batches(hash_partial, batch_format="pyarrow", batch_size=1024),
+        "h",
+        {"one": "n_docs"},
+        n_meta=n_meta,
+    )
+
+    def keep_dup_hashes(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t["n_docs"], pa.scalar(min_docs, pa.int64()))
+        ).select(["h"])
+
+    cand_ds = doc_counts.map_batches(keep_dup_hashes, batch_format="pyarrow").materialize()
+    n_cand = cand_ds.count()
+    if n_cand > max_broadcast_candidates:
+        raise ValueError(
+            f"strip_boilerplate: {n_cand} candidate hashes exceed the broadcast "
+            f"budget ({max_broadcast_candidates}); use duplicate_spans(mode='semijoin')"
+        )
+    cand = cand_ds.to_pandas()
+    hvals = cand["h"].to_numpy() if "h" in cand.columns else np.array([], np.int64)
+    cand_ref = ray.put(np.sort(hvals.astype(np.int64)))
+
+    def strip_batch(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        ids = batch[id_col].cast(pa.int64())
+        spans, _sp_ids, starts, flat, base = _windows_batch(
+            batch, w, id_col, text_col, return_layout=True
+        )
+        n_tok = int(base[-1]) if len(base) else 0
+        lengths = np.diff(base)
+        hit_starts = np.array([], np.int64)
+        if len(spans) and len(cs):
+            h = fnv1a64_arrow(spans).view(np.int64)
+            pos = np.searchsorted(cs, h)
+            hit = (pos < len(cs)) & (cs[np.minimum(pos, len(cs) - 1)] == h)
+            hit_starts = starts[hit]
+        cover = np.zeros(n_tok + w + 1, np.int64)
+        np.add.at(cover, hit_starts, 1)
+        np.add.at(cover, hit_starts + w, -1)
+        covered = np.cumsum(cover[:n_tok]) > 0 if n_tok else np.zeros(0, bool)
+        kept = ~covered
+        kcum = np.concatenate(([0], np.cumsum(kept)))
+        new_counts = kcum[base[1:]] - kcum[base[:-1]]
+        new_offsets = np.concatenate(([0], np.cumsum(new_counts)))
+        kept_tokens = flat.take(pa.array(np.flatnonzero(kept), pa.int64()))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(new_offsets, pa.int64()), kept_tokens
+        )
+        text_new = pc.binary_join(lists, pa.scalar(" "))
+        # n_kept is authoritative: a fully-stripped doc's text is "" which
+        # re-splits to one empty token, so split-length is NOT a valid
+        # conservation check — callers should use n_kept + n_removed
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": text_new,
+                "n_kept": pa.array(new_counts, pa.int64()),
+                "n_removed": pa.array(lengths - new_counts, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(strip_batch, batch_format="pyarrow", batch_size=1024)

@@ -118,3 +118,63 @@ def test_duplicate_spans_semijoin_matches_broadcast(ray_session):
     got = duplicate_spans(_ds(mixed, blocks=2), w=3, mode="semijoin").to_pandas()
     assert sorted(got["span"]) == ["p q r", "q r s"]
     assert got["n_docs"].tolist() == [2, 2] and got["n_occ"].tolist() == [2, 2]
+
+
+def test_strip_boilerplate_removes_shared_windows(ray_session):
+    """Tokens covered by a >=2-doc duplicated w-window disappear; unique
+    docs pass through byte-identical; token conservation holds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from duke_ray.stages.spans import strip_boilerplate
+
+    boiler = "please subscribe to our newsletter today ok"  # 7 tokens
+    texts = [
+        f"alpha beta gamma {boiler} delta",
+        f"{boiler} epsilon zeta eta theta iota",
+        "completely unique document with no shared windows at all",
+    ]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, w=7).take_all()}
+    # the 7-token boiler window occurs in docs 1 and 2 -> its tokens drop
+    assert out[1]["text"] == "alpha beta gamma delta"
+    assert out[1]["n_removed"] == 7
+    assert out[2]["text"] == "epsilon zeta eta theta iota"
+    assert out[2]["n_removed"] == 7
+    assert out[3]["text"] == texts[2] and out[3]["n_removed"] == 0
+    # conservation
+    for i, t in enumerate(texts, 1):
+        assert len(out[i]["text"].split(" ")) + out[i]["n_removed"] == len(t.split(" ")) or (
+            out[i]["text"] == "" and out[i]["n_removed"] == len(t.split(" "))
+        )
+
+
+def test_strip_boilerplate_full_coverage_and_single_doc_repeat(ray_session):
+    """A doc that is entirely boilerplate empties out; a window repeated
+    only WITHIN one doc does not qualify (distinct-doc threshold)."""
+    import pyarrow as pa
+    import ray
+
+    from duke_ray.stages.spans import strip_boilerplate
+
+    b = "x1 x2 x3 x4"
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([b, b, f"solo {b.replace('x', 'y')} mid {b.replace('x', 'y')} end"], pa.string()),
+            }
+        )
+    )
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, w=4).take_all()}
+    assert out[1]["text"] == "" and out[1]["n_removed"] == 4
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 4
+    assert out[3]["n_removed"] == 0  # y-window repeats but only in one doc
