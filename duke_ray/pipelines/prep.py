@@ -121,8 +121,15 @@ def prep_training_data(
     val_rate_256: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
+    strip_spans_w: int | None = None,
 ) -> "ray.data.Dataset":
-    """The composed pipeline (see module docstring)."""
+    """The composed pipeline (see module docstring).
+
+    ``strip_spans_w``: when set, a substring-dedup removal pass
+    (stages/spans.py:strip_boilerplate, window = that many tokens) runs
+    AFTER doc-level dedup and BEFORE chunking — shared boilerplate
+    vanishes from every surviving doc instead of surviving inside chunks.
+    Off by default (the oracle mirrors the unstripped pipeline)."""
 
     def keep(batch: pa.Table) -> pa.Table:
         pred = lang_id_batch(batch, id_col, text_col)["pred_lang"]
@@ -136,6 +143,16 @@ def prep_training_data(
     kept = docs.map_batches(keep, batch_format="pyarrow", batch_size=8192).materialize()
     surv_ids = exact_dedup(kept, id_col=id_col, text_col=text_col)
     surv = semi_join_ids(kept, surv_ids, key=id_col)
+    if strip_spans_w is not None:
+        from ..stages.spans import strip_boilerplate
+
+        stripped = strip_boilerplate(
+            surv, w=strip_spans_w, id_col=id_col, text_col=text_col
+        )
+        surv = stripped.map_batches(
+            lambda b: b.select(["doc_id", "text"]).rename_columns([id_col, text_col]),
+            batch_format="pyarrow",
+        )
     chunks = chunk_tokens(
         surv, chunk_size=chunk_size, overlap=overlap, id_col=id_col, text_col=text_col
     )

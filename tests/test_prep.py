@@ -212,3 +212,34 @@ def test_prep_shuffled_to_dir_round_trip(ray_session, tmp_path):
     out2 = str(tmp_path / "shuffled2")
     res2 = prep_training_data_shuffled_to_dir(docs, out2, n_parts=16, fingerprint="p1")
     assert res["rows"] == res2["rows"]
+
+
+def test_prep_with_span_strip_removes_boilerplate_from_chunks(ray_session):
+    """With strip_spans_w set, shared boilerplate vanishes before chunking:
+    no output chunk contains the boiler tokens, while the default pipeline
+    (strip off) keeps them. Both runs share every other parameter."""
+    import pyarrow as pa
+    import ray
+
+    from duke_ray.pipelines.prep import prep_training_data
+
+    boiler = "b1 b2 b3 b4"
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again " * 2,
+        "pack my box with five dozen liquor jugs every single day now " * 2,
+    ]
+    texts = [t.strip() + " " + boiler for t in base]
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+    kw = dict(lang="en", min_quality_centi=0, chunk_size=8, overlap=0, val_rate_256=0)
+    plain = prep_training_data(docs, **kw).take_all()
+    stripped = prep_training_data(docs, strip_spans_w=4, **kw).take_all()
+    assert any("b1" in r["chunk_text"] for r in plain)
+    assert not any("b1" in r["chunk_text"] for r in stripped)
+    assert len(stripped) > 0
