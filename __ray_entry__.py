@@ -415,6 +415,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     q["doc_rollup"] = doc_rollup
 
+    def doc_cube(sf):
+        """GROUP BY CUBE(lang, source): counts + token mass at ALL four
+        subsets — the rollup's sibling adds the source-only marginal,
+        derived from the finest level's aggregate-sized output, never a
+        second corpus scan (pipelines/relational.py:cube_counts)."""
+        from duke_ray.pipelines.relational import cube_counts
+
+        docs = read_table(sf, "documents", columns=["lang", "source", "text"])
+
+        def with_tokens(b: pa.Table) -> pa.Table:
+            n = pc.add(
+                pc.count_substring(b["text"], " "), pa.scalar(1, pa.int32())
+            ).cast(pa.int64())
+            return pa.table({"lang": b["lang"], "source": b["source"], "n_tok": n})
+
+        return cube_counts(
+            docs.map_batches(with_tokens, batch_format="pyarrow"),
+            ["lang", "source"],
+            {"n_tok": "n_tokens"},
+        )
+
+    q["doc_cube"] = doc_cube
+
     def bigram_frequencies(sf):
         from duke_ray.stages.textstats import bigram_frequencies as bf
 
@@ -2564,6 +2587,13 @@ SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
 FROM documents GROUP BY ROLLUP(lang, source)
+"""
+
+    sql["doc_cube"] = """
+SELECT COALESCE(lang, 'ALL') AS lang, COALESCE(source, 'ALL') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM documents GROUP BY CUBE(lang, source)
 """
 
     sql["contamination"] = """

@@ -2576,3 +2576,101 @@ SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_stage1,
        CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_stage12,
        CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_stage123
 """
+
+
+# GROUP BY CUBE ---------------------------------------------------------------------
+
+def cube_counts(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    sum_cols: dict[str, str] | None = None,
+    sentinel: str = "ALL",
+    n_meta: int = 64,
+) -> "ray.data.Dataset":
+    """GROUP BY CUBE(key_cols): aggregates at EVERY key subset, blanked
+    positions holding ``sentinel`` (rollup_counts' hierarchical-levels
+    sibling — CUBE needs all 2^k subsets, not just prefixes).
+
+    Topology: the corpus is scanned ONCE for the finest-level partials
+    (rollup_counts' partial, same NULL/sentinel loud guards); every other
+    subset derives from the FINEST level's aggregate-sized output via one
+    tiny grouped_sum each — 2^k - 1 extra exchanges over ~|groups| rows,
+    never over rows. k is capped at 4 (16 subsets) to keep the plan
+    bounded."""
+    from itertools import combinations
+
+    from ..state.exchange import grouped_sum
+
+    if len(key_cols) > 4:
+        raise ValueError("cube_counts caps key_cols at 4 (2^k subsets)")
+    sums = dict(sum_cols or {})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {k: batch[k].cast(pa.string()) for k in key_cols}
+        for k in key_cols:
+            if cols[k].null_count:
+                raise ValueError(f"cube_counts: key column {k!r} contains NULLs")
+            if pc.any(pc.equal(cols[k], pa.scalar(sentinel))).as_py():
+                raise ValueError(
+                    f"cube_counts: key column {k!r} contains the sentinel {sentinel!r}"
+                )
+        cols["n"] = pa.array(np.ones(batch.num_rows, np.int64), pa.int64())
+        for src in sums:
+            cols[src] = batch[src].cast(pa.int64())
+        t = pa.table(cols)
+        g = t.group_by(key_cols).aggregate([("n", "sum")] + [(c, "sum") for c in sums])
+        out = {k: g[k] for k in key_cols}
+        out["n"] = g["n_sum"]
+        for src in sums:
+            out[src] = g[f"{src}_sum"]
+        return pa.table(out)
+
+    value_map = {"n": "n"} | {c: c for c in sums}
+    finest = grouped_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        key_cols,
+        value_map,
+        n_meta=n_meta,
+    ).materialize()
+
+    levels = [finest]
+    k = len(key_cols)
+    for r in range(k):
+        for keep_idx in combinations(range(k), r):
+            if len(keep_idx) == k:
+                continue
+            keep = set(keep_idx)
+
+            def blank(batch: pa.Table, _keep=frozenset(keep)) -> pa.Table:
+                cols = {}
+                for j, kc in enumerate(key_cols):
+                    cols[kc] = (
+                        batch[kc]
+                        if j in _keep
+                        else pa.array([sentinel] * batch.num_rows, pa.string())
+                    )
+                cols["n"] = batch["n"]
+                for c in sums:
+                    cols[c] = batch[c]
+                return pa.table(cols)
+
+            levels.append(
+                grouped_sum(
+                    finest.map_batches(blank, batch_format="pyarrow"),
+                    key_cols,
+                    value_map,
+                    n_meta=n_meta,
+                )
+            )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {kc: batch[kc] for kc in key_cols}
+        cols["n_rows"] = batch["n"].cast(pa.int64())
+        for src, dst in sums.items():
+            cols[dst] = batch[src].cast(pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -624,3 +624,33 @@ def test_funnel_over_duplicate_stage_raises(ray_session):
     )
     with pytest.raises(ValueError, match="distinct"):
         funnel_over(ev, ("a", "a"))
+
+
+def test_cube_counts_all_subsets(ray_session):
+    """CUBE emits all 2^k subsets with sentinel-blanked positions; the
+    source-only marginal (absent from ROLLUP) sums correctly; sentinel
+    collision raises."""
+    import ray
+
+    from duke_ray.pipelines.relational import cube_counts
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "a": pa.array(["x", "x", "y"], pa.string()),
+                "b": pa.array(["p", "q", "q"], pa.string()),
+            }
+        )
+    )
+    rows = {(r["a"], r["b"]): r["n_rows"] for r in cube_counts(ds, ["a", "b"]).take_all()}
+    assert rows[("ALL", "ALL")] == 3
+    assert rows[("x", "ALL")] == 2 and rows[("y", "ALL")] == 1
+    assert rows[("ALL", "p")] == 1 and rows[("ALL", "q")] == 2  # the CUBE-only marginal
+    assert rows[("x", "p")] == 1 and rows[("x", "q")] == 1 and rows[("y", "q")] == 1
+    assert len(rows) == 8
+
+    bad = ray.data.from_arrow(
+        pa.table({"a": pa.array(["ALL"], pa.string()), "b": pa.array(["p"], pa.string())})
+    )
+    with pytest.raises(Exception, match="sentinel"):
+        cube_counts(bad, ["a", "b"]).take_all()
