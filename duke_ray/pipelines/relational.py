@@ -1638,8 +1638,10 @@ HAVING CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
 # Q22-shaped large-large anti-join --------------------------------------------
 
 def inactive_customers(sf_dir: str, priority: str = "1-URGENT") -> "ray.data.Dataset":
-    """sf-dir wrapper over :func:`inactive_customers_over` — see there for
-    the topology."""
+    """Per-nation count + balance of above-average-balance customers with
+    NO order of the given priority (TPC-H Q22 shape) — hash-partitioned
+    anti-join, integer average gate; topology in
+    :func:`inactive_customers_over`."""
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
     nation = read_table(sf_dir, "nation").to_pandas()
@@ -1789,8 +1791,9 @@ GROUP BY n_name
 # Q4-shaped semi-join ---------------------------------------------------------
 
 def priority_semijoin(sf_dir: str) -> "ray.data.Dataset":
-    """sf-dir wrapper over :func:`priority_semijoin_over` — see there for
-    the topology."""
+    """Order counts per priority among orders with >=1 heavily-discounted
+    bulk lineitem (TPC-H Q4 EXISTS shape) — one-exchange semi-join;
+    topology in :func:`priority_semijoin_over`."""
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_discount", "l_quantity"])
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
     return priority_semijoin_over(orders, li)
@@ -2422,7 +2425,9 @@ GROUP BY event_type, k_decile
 # partition-total window joined back to rows -----------------------------------------
 
 def order_share_of_customer(sf_dir: str) -> "ray.data.Dataset":
-    """sf-dir wrapper over :func:`order_share_over`."""
+    """Every order's share (ppm) of its customer's lifetime spend —
+    SUM() OVER (PARTITION BY) at row cardinality; topology in
+    :func:`order_share_over`."""
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     return order_share_over(orders)
 
