@@ -2679,3 +2679,75 @@ def cube_counts(
         return pa.table(cols)
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+# Q17-shaped correlated mean threshold ------------------------------------------------
+
+def small_quantity_revenue(sf_dir: str) -> pa.Table:
+    """Revenue locked in small-quantity orders: total price of lineitems
+    whose quantity is strictly below 20% of their part's average quantity
+    (TPC-H Q17's correlated-scalar-subquery shape).
+
+    The correlation never runs as a subquery: lineitem rows hash to their
+    part's partition in ONE partitioned_reduce; the per-part (sum_qty, n)
+    resolve with a C++ group_by inside, the threshold comparison is exact
+    integer cross-multiplication (5*qty*n < sum_qty — no division), and
+    each partition emits one (revenue, count) partial. Driver combines
+    <= n_meta rows."""
+    from ..state.exchange import partitioned_reduce
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"].cast(pa.int64()),
+                "qty": b["l_quantity"].cast(pa.int64()),
+                "cents": _cents(b["l_extendedprice"]),
+            }
+        )
+
+    def q17_partition(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_partkey").aggregate([("qty", "sum"), ("qty", "count")])
+        idx = pc.index_in(t["l_partkey"], value_set=g["l_partkey"])
+        sum_q = pc.take(g["qty_sum"], idx)
+        n = pc.take(g["qty_count"], idx).cast(pa.int64())
+        lhs = pc.multiply_checked(
+            pc.multiply_checked(t["qty"], pa.scalar(5, pa.int64())), n
+        )
+        keep = pc.less(lhs, sum_q)
+        kept = t.filter(keep)
+        return pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [pc.sum(kept["cents"]).as_py() or 0], pa.int64()
+                ),
+                "n_items": pa.array([kept.num_rows], pa.int64()),
+            }
+        )
+
+    partials = partitioned_reduce(
+        li.map_batches(rows, batch_format="pyarrow", batch_size=65536),
+        "l_partkey",
+        q17_partition,
+    ).to_pandas()
+    return pa.table(
+        {
+            "revenue_cents": pa.array([int(partials["revenue_cents"].sum())], pa.int64()),
+            "n_items": pa.array([int(partials["n_items"].sum())], pa.int64()),
+        }
+    )
+
+
+SMALL_QUANTITY_REVENUE_SQL = """
+SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+) l
+WHERE 5 * qty * (SELECT COUNT(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+      < (SELECT CAST(SUM(CAST(i.l_quantity AS BIGINT)) AS BIGINT)
+         FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+"""

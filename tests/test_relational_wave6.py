@@ -654,3 +654,26 @@ def test_cube_counts_all_subsets(ray_session):
     )
     with pytest.raises(Exception, match="sentinel"):
         cube_counts(bad, ["a", "b"]).take_all()
+
+
+def test_small_quantity_threshold_strict(ray_session, tmp_path):
+    """qty strictly below 20% of the part's mean qualifies; exactly-at
+    does not (5*qty*n == sum); single-lineitem parts never qualify
+    (qty*5 < qty is false for positive qty)."""
+    from duke_ray.pipelines.relational import small_quantity_revenue
+
+    # part 1: qtys 1, 99 -> mean 50, 20% = 10 -> qty 1 qualifies (5*1*2=10 < 100? 10 < 100 yes)
+    #   qty 99: 5*99*2 = 990 !< 100 -> no
+    # part 2: qtys 2, 8 -> sum 10; qty 2: 5*2*2 = 20 !< 10 -> no (2 == 20% of 5? mean 5, 20% = 1 -> 2 not < 1)
+    # part 3: single qty 7 -> 5*7*1 = 35 !< 7 -> no
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_partkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "l_quantity": pa.array([1.0, 99.0, 2.0, 8.0, 7.0], pa.float64()),
+            "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0, 50.0], pa.float64()),
+        },
+    )
+    t = small_quantity_revenue(_sf(tmp_path)).to_pylist()[0]
+    assert (t["revenue_cents"], t["n_items"]) == (1000, 1)
