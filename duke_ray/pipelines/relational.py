@@ -2751,3 +2751,75 @@ WHERE 5 * qty * (SELECT COUNT(*) FROM lineitem i WHERE i.l_partkey = l.l_partkey
       < (SELECT CAST(SUM(CAST(i.l_quantity AS BIGINT)) AS BIGINT)
          FROM lineitem i WHERE i.l_partkey = l.l_partkey)
 """
+
+
+# Q2-shaped argmin-per-group join -----------------------------------------------------
+
+def cheapest_supplier_per_part(sf_dir: str) -> "ray.data.Dataset":
+    """Each part's cheapest observed (price, supplier) from lineitem with
+    the supplier name attached (TPC-H Q2's min-cost-supplier shape).
+
+    Argmin-per-group rides the generic group_topk selection (per-batch
+    partial top-1 prunes the exchange to near-|parts| rows, one part-keyed
+    partitioned_reduce finalizes); ties break by (price asc, suppkey asc);
+    the supplier name attaches to the part-cardinality RESULT via one
+    broadcast lookup — never shuffled."""
+    import ray
+
+    from ..stages.ranking import group_topk
+
+    li = read_table(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"].cast(pa.int64()),
+                "s_suppkey": b["l_suppkey"].cast(pa.int64()),
+                "price_cents": _cents(b["l_extendedprice"]),
+            }
+        )
+
+    best = group_topk(
+        li.map_batches(rows, batch_format="pyarrow", batch_size=65536),
+        key_col="l_partkey",
+        value_col="price_cents",
+        k=1,
+        tie_col="s_suppkey",
+        descending=False,
+    )
+
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_name"]).to_pandas()
+    names_ref = ray.put(
+        (pa.array(sup["s_suppkey"].astype("int64"), pa.int64()), pa.array(sup["s_name"], pa.string()))
+    )
+
+    def attach(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["rk"], pa.scalar(1, pa.int64())))
+        keys, names = ray.get(names_ref)
+        idx = pc.index_in(b["s_suppkey"], value_set=keys)
+        if idx.null_count:
+            raise ValueError("lineitem references a suppkey absent from supplier")
+        return pa.table(
+            {
+                "l_partkey": b["l_partkey"],
+                "s_suppkey": b["s_suppkey"],
+                "s_name": pc.take(names, idx),
+                "price_cents": b["price_cents"],
+            }
+        )
+
+    return best.map_batches(attach, batch_format="pyarrow")
+
+
+CHEAPEST_SUPPLIER_SQL = """
+SELECT l_partkey, s_suppkey, s_name, price_cents FROM (
+  SELECT l_partkey, l_suppkey AS s_suppkey,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT) ASC, l_suppkey ASC
+         ) AS rk
+  FROM lineitem
+) JOIN supplier USING (s_suppkey)
+WHERE rk = 1
+"""
