@@ -2823,3 +2823,65 @@ SELECT l_partkey, s_suppkey, s_name, price_cents FROM (
 ) JOIN supplier USING (s_suppkey)
 WHERE rk = 1
 """
+
+
+# Q6-shaped scan-filter-aggregate ------------------------------------------------------
+
+def forecast_revenue(sf_dir: str, year: int = 1996) -> pa.Table:
+    """Potential revenue from discount changes: SUM(price * discount) over
+    shipments in ``year`` with discount in [5%, 7%] and quantity < 24
+    (TPC-H Q6 — the pure scan->filter->aggregate shape).
+
+    The read prunes to four columns; the discount band compares on
+    ROUND(discount*1000) integers (floats are 0.01 multiples — the milli
+    grid is exact, no boundary drift); each batch emits one partial sum
+    and the driver adds <= n_blocks rows. Nothing shuffles."""
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc_milli = pc.cast(
+            pc.round(pc.multiply(b["l_discount"], pa.scalar(1000.0)),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.equal(pc.year(b["l_shipdate"]), pa.scalar(year, pa.int32())),
+                pc.and_(
+                    pc.greater_equal(disc_milli, pa.scalar(50, pa.int64())),
+                    pc.less_equal(disc_milli, pa.scalar(70, pa.int64())),
+                ),
+            ),
+            pc.less(b["l_quantity"], pa.scalar(24.0)),
+        )
+        t = b.filter(pc.fill_null(keep, False))
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table(
+            {
+                "revenue_cents": pa.array([pc.sum(_cents(rev)).as_py() or 0], pa.int64()),
+                "n_items": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    p = li.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    return pa.table(
+        {
+            "revenue_cents": pa.array([int(p["revenue_cents"].sum())], pa.int64()),
+            "n_items": pa.array([int(p["n_items"].sum())], pa.int64()),
+        }
+    )
+
+
+def forecast_revenue_sql(year: int = 1996) -> str:
+    return f"""
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)), 0) AS BIGINT)
+         AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE year(l_shipdate) = {year}
+  AND CAST(ROUND(l_discount * 1000) AS BIGINT) BETWEEN 50 AND 70
+  AND l_quantity < 24
+"""
