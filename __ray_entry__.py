@@ -2093,6 +2093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q["small_quantity_revenue"] = rel.small_quantity_revenue
     q["cheapest_supplier_per_part"] = rel.cheapest_supplier_per_part
     q["forecast_revenue"] = rel.forecast_revenue
+    q["returned_item_report"] = rel.returned_item_report
     q["user_event_spans"] = rel.user_event_spans
     q["distinct_segments"] = rel.distinct_segments
     q["user_sessions"] = rel.user_sessions
@@ -3515,6 +3516,7 @@ LATERAL (SELECT unnest(generate_series(
     sql["small_quantity_revenue"] = rel.SMALL_QUANTITY_REVENUE_SQL
     sql["cheapest_supplier_per_part"] = rel.CHEAPEST_SUPPLIER_SQL
     sql["forecast_revenue"] = rel.forecast_revenue_sql()
+    sql["returned_item_report"] = rel.returned_item_report_sql()
     sql["user_event_spans"] = rel.USER_EVENT_SPANS_SQL
     sql["distinct_segments"] = rel.DISTINCT_SEGMENTS_SQL
     sql["first_event_per_user"] = """

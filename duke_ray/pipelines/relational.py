@@ -2885,3 +2885,133 @@ WHERE year(l_shipdate) = {year}
   AND CAST(ROUND(l_discount * 1000) AS BIGINT) BETWEEN 50 AND 70
   AND l_quantity < 24
 """
+
+
+# Q10-shaped returned-item report ------------------------------------------------------
+
+def returned_item_report(sf_dir: str, k: int = 20) -> "ray.data.Dataset":
+    """Top-k customers by revenue lost to returned items, with name and
+    nation attached (TPC-H Q10 shape: fact filter -> large-key aggregate
+    -> top-k -> dimension attach).
+
+    The returns filter runs inside the fact scan; per-customer revenue
+    is one custkey-keyed grouped_sum off a large-large orderkey exchange
+    (lineitem returns co-locate with order custkeys — no Dataset.join);
+    per-partition partial top-k caps the global sort at ~n_meta*k rows;
+    customer name + nation attach to just the k winners via broadcast."""
+    import ray
+
+    from ..state.exchange import grouped_sum, partitioned_reduce
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def li_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b["l_returnflag"], pa.scalar("R")))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        g = pa.table(
+            {
+                "orderkey": t["l_orderkey"].cast(pa.int64()),
+                "cents": _cents(rev),
+            }
+        ).group_by("orderkey").aggregate([("cents", "sum")])
+        return pa.table(
+            {
+                "orderkey": g["orderkey"],
+                "cents": g["cents_sum"],
+                "custkey": pa.nulls(g.num_rows, pa.int64()),
+                "kind": pa.array(np.ones(g.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def o_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": b["o_orderkey"].cast(pa.int64()),
+                "cents": pa.nulls(b.num_rows, pa.int64()),
+                "custkey": b["o_custkey"].cast(pa.int64()),
+                "kind": pa.array(np.zeros(b.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    both = orders.map_batches(o_rows, batch_format="pyarrow", batch_size=65536).union(
+        li.map_batches(li_rows, batch_format="pyarrow", batch_size=65536)
+    )
+
+    def attach_cust(t: pa.Table) -> pa.Table:
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        o = t.filter(pa.array(kind == 0))
+        r = t.filter(pa.array(kind == 1))
+        idx = pc.index_in(r["orderkey"], value_set=o["orderkey"])
+        if idx.null_count:
+            raise ValueError("returned lineitem references an orderkey absent from orders")
+        g = pa.table(
+            {
+                "custkey": pc.take(o["custkey"], idx),
+                "cents": r["cents"],
+            }
+        ).group_by("custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["custkey", "cents"])
+
+    per_cust = grouped_sum(
+        partitioned_reduce(both, "orderkey", attach_cust),
+        "custkey",
+        {"cents": "revenue_cents"},
+    )
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        if b.num_rows <= k:
+            return b
+        idx = pc.sort_indices(
+            b, sort_keys=[("revenue_cents", "descending"), ("custkey", "ascending")]
+        )
+        return b.take(idx.slice(0, k))
+
+    top = (
+        per_cust.map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["revenue_cents", "custkey"], descending=[True, False])
+        .limit(k)
+    )
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name", "c_nationkey"]).to_pandas()
+    nat = read_table(sf_dir, "nation").to_pandas()
+    n2name = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    lookup_ref = ray.put(
+        (
+            pa.array(cust["c_custkey"].astype("int64"), pa.int64()),
+            pa.array(cust["c_name"], pa.string()),
+            pa.array([n2name[int(x)] for x in cust["c_nationkey"]], pa.string()),
+        )
+    )
+
+    def attach_dims(b: pa.Table) -> pa.Table:
+        keys, names, nations = ray.get(lookup_ref)
+        idx = pc.index_in(b["custkey"], value_set=keys)
+        if idx.null_count:
+            raise ValueError("order references a custkey absent from customer")
+        return pa.table(
+            {
+                "c_custkey": b["custkey"],
+                "c_name": pc.take(names, idx),
+                "n_name": pc.take(nations, idx),
+                "revenue_cents": b["revenue_cents"],
+            }
+        )
+
+    return top.map_batches(attach_dims, batch_format="pyarrow", concurrency=1)
+
+
+def returned_item_report_sql(k: int = 20) -> str:
+    return f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+     JOIN customer ON o_custkey = c_custkey
+     JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey ASC
+LIMIT {k}
+"""
