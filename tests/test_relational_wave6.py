@@ -677,3 +677,77 @@ def test_small_quantity_threshold_strict(ray_session, tmp_path):
     )
     t = small_quantity_revenue(_sf(tmp_path)).to_pylist()[0]
     assert (t["revenue_cents"], t["n_items"]) == (1000, 1)
+
+
+def test_forecast_revenue_band_boundaries(ray_session, tmp_path):
+    """Discount band is inclusive [5%, 7%] on the milli grid; qty 24 and
+    off-year shipments drop; rounding is per row."""
+    from duke_ray.pipelines.relational import forecast_revenue
+
+    import datetime
+
+    def us(y):
+        return int(datetime.datetime(y, 6, 1).timestamp() * 1_000_000)
+
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_shipdate": pa.array([us(1996)] * 5 + [us(1995)], pa.timestamp("us")),
+            "l_discount": pa.array([0.05, 0.07, 0.04, 0.08, 0.06, 0.06], pa.float64()),
+            "l_quantity": pa.array([10.0, 23.0, 10.0, 10.0, 24.0, 10.0], pa.float64()),
+            "l_extendedprice": pa.array([100.0] * 6, pa.float64()),
+        },
+    )
+    t = forecast_revenue(_sf(tmp_path), year=1996).to_pylist()[0]
+    # qualifying: rows 0 (5%) and 1 (7%) -> 100*0.05 + 100*0.07 = 12.00
+    assert (t["revenue_cents"], t["n_items"]) == (1200, 2)
+
+
+def test_returned_item_report_filter_and_tiebreak(ray_session, tmp_path):
+    """Only 'R' lineitems count; equal revenues order by custkey asc; names
+    and nations attach to the winners only."""
+    from duke_ray.pipelines.relational import returned_item_report
+
+    _write(
+        tmp_path,
+        "lineitem",
+        {
+            "l_orderkey": pa.array([1, 1, 2, 3], pa.int64()),
+            "l_returnflag": pa.array(["R", "N", "R", "R"], pa.string()),
+            "l_extendedprice": pa.array([10.0, 99.0, 10.0, 5.0], pa.float64()),
+            "l_discount": pa.array([0.0, 0.0, 0.0, 0.0], pa.float64()),
+        },
+    )
+    _write(
+        tmp_path,
+        "orders",
+        {
+            "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+            "o_custkey": pa.array([7, 5, 9], pa.int64()),
+        },
+    )
+    _write(
+        tmp_path,
+        "customer",
+        {
+            "c_custkey": pa.array([5, 7, 9], pa.int64()),
+            "c_name": pa.array(["c5", "c7", "c9"], pa.string()),
+            "c_nationkey": pa.array([0, 1, 0], pa.int32()),
+        },
+    )
+    _write(
+        tmp_path,
+        "nation",
+        {
+            "n_nationkey": pa.array([0, 1], pa.int32()),
+            "n_name": pa.array(["ALPHA", "BETA"], pa.string()),
+            "n_regionkey": pa.array([0, 0], pa.int32()),
+        },
+    )
+    rows = returned_item_report(_sf(tmp_path), k=2).take_all()
+    # custs 5 and 7 tie at 1000 cents -> custkey asc; cust 9 (500) cut by k=2
+    assert [(r["c_custkey"], r["c_name"], r["n_name"], r["revenue_cents"]) for r in rows] == [
+        (5, "c5", "ALPHA", 1000),
+        (7, "c7", "BETA", 1000),
+    ]
